@@ -1,0 +1,159 @@
+"""Main-content extraction: payload → (extracted_text, spans, failure).
+
+This is the north-rule workload (BASELINE.json:14): strip boilerplate
+and extract main-content text plus character spans from the HTML/XML
+payload of each transcript turn. The rule-set is declared with the
+kernel's inxs-style API (SetLocalVariables ≙ put_variable, iterate-
+subtree ≙ traversal, drop/unwrap/extract handlers — BASELINE.json:6)
+and compiled once; the per-turn executor is pure Python and runs
+identically inside Spark Arrow batches and serially in tests (parity
+oracle, SURVEY.md §0).
+
+Span semantics: after the transformation mutates the DOM, ONE document-
+order walk concatenates text/tail segments into ``extracted_text`` and
+records for each non-empty segment its [start, end) offsets plus the
+path of the owning element (the element whose ``.text`` it is, or whose
+``.tail`` it is). Spans are computed on the FINAL DOM, never
+incrementally (SURVEY.md §8 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .kernel import lib
+from .kernel.conditions import Any
+from .kernel.nodes import Node
+from .kernel.parse import ParseError, parse_payload
+from .kernel.transformation import Ref, Rule, Transformation
+
+# payloads beyond this many characters fail fast with
+# failure='payload_too_large' instead of risking executor OOM on
+# pathological rows (SURVEY.md §5.2 spill row)
+MAX_PAYLOAD_CHARS = 4_000_000
+
+#: boilerplate containers dropped wholesale (their tails are junk too)
+BOILERPLATE_TAGS = (
+    "header", "footer", "nav", "aside", "script", "style",
+    "noscript", "form", "iframe", "stderr", "meta",
+)
+
+#: class-attribute patterns that mark ad/navigation containers
+_JUNK_CLASS = re.compile(r"(?:^|\s|-)(ads?|advert\w*|sidebar|banner|promo|cookie)(?:$|\s|-)")
+
+
+def _ensure_tail(tail: str):
+    """Set element.tail only when absent — table-cell/row separators
+    must not clobber author text."""
+
+    def handler(element):
+        if element.tail is None:
+            element.tail = tail
+        return element
+
+    handler._describe = f"ensure_tail({tail!r})"
+    return handler
+
+
+def main_content_transformation() -> Transformation:
+    """The flagship rule-set, equivalent in shape to the reference's
+    wikipedia-dumps + table-extraction examples (BASELINE.json:6):
+
+    1. grouped classification traversal: collect boilerplate containers
+       and ad-classed elements → ``trash``; ``ref`` citation markers →
+       ``cites`` (tails are body text and must survive,
+       FIXTURES.md §2); ``stdout`` wrappers → ``unwraps``
+    2. tab/newline-format table cells/rows so the text walk yields
+       readable records (table-extraction shape)
+    3. removal steps: drop trash outright, drop cites preserving tails,
+       unwrap stdout keeping content
+    """
+    el = Ref("element")
+    classify = [
+        Rule(Any(*BOILERPLATE_TAGS), (lib.append("trash", el),), name="collect-boilerplate"),
+        Rule({"class": _JUNK_CLASS}, (lib.append("trash", el),), name="collect-junk-classed"),
+        Rule("ref", (lib.append("cites", el),), name="collect-cites"),
+        Rule("stdout", (lib.append("unwraps", el),), name="collect-stdout"),
+    ]
+    return Transformation(
+        classify,  # grouped step: ONE traversal, four rules (A4)
+        Rule("td", (_ensure_tail("\t"),), name="format-td"),
+        Rule("th", (_ensure_tail("\t"),), name="format-th"),
+        Rule("tr", (_ensure_tail("\n"),), name="format-tr"),
+        lib.remove_elements("trash"),
+        lib.remove_elements("cites", preserve_tail=True),
+        lib.remove_elements(
+            "unwraps", keep_children=True, preserve_text=True, preserve_tail=True
+        ),
+        name="main-content-v1",
+        copy=False,  # we own the freshly parsed tree
+        result_object="tree",
+    )
+
+
+# compiled once at import; broadcast to executors by reference.
+# fingerprint() of this object is the lineage rule_set_hash.
+MAIN_CONTENT = main_content_transformation()
+
+
+def text_with_spans(root: Node) -> tuple[str, list[tuple[int, int, str]]]:
+    """Document-order text walk over the FINAL DOM. Returns the
+    concatenated text and per-segment (start, end, path) spans."""
+    parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    offset = 0
+
+    def visit(node: Node) -> None:
+        nonlocal offset
+        if node.text:
+            start = offset
+            offset += len(node.text)
+            parts.append(node.text)
+            spans.append((start, offset, node.path_from(root)))
+        for child in node.children:
+            visit(child)
+            if child.tail:
+                start = offset
+                offset += len(child.tail)
+                parts.append(child.tail)
+                spans.append((start, offset, child.path_from(root)))
+
+    visit(root)
+    return "".join(parts), spans
+
+
+def extract_turn(
+    payload: Optional[str],
+    transformation: Transformation = MAIN_CONTENT,
+) -> tuple[Optional[str], list[tuple[int, int, str]], Optional[str]]:
+    """Per-turn extraction — the function the Arrow UDF applies row-
+    wise inside each batch, and the serial oracle in tests.
+
+    Returns (extracted_text, spans, failure):
+    - empty/whitespace payload → ('', [], None) — empty, never null
+    - plain text (no markup)   → passthrough with one '/' span
+    - XML/HTML                 → parse, transform, walk
+    - parse failure            → (None, [], 'parse_error')
+    - oversized payload        → (None, [], 'payload_too_large')
+    """
+    if payload is None or payload.strip() == "":
+        return "", [], None
+    if len(payload) > MAX_PAYLOAD_CHARS:
+        return None, [], "payload_too_large"
+    # every pathological payload must degrade to a `failure` value —
+    # an escaping exception would kill the whole Arrow batch / Spark
+    # task (observed: RecursionError on ~2000-deep nesting)
+    try:
+        root, kind = parse_payload(payload)
+        if root is None:  # plain text passthrough
+            return payload, [(0, len(payload), "/")], None
+        transformed = transformation(root)
+        text, spans = text_with_spans(transformed)
+        return text, spans, None
+    except ParseError:
+        return None, [], "parse_error"
+    except RecursionError:
+        return None, [], "payload_too_deep"
+    except Exception:
+        return None, [], "transform_error"

@@ -1,0 +1,133 @@
+"""DOM node model for the rules kernel.
+
+Mirrors the element model of the reference library (funkyfuture/inxs,
+which operates on lxml ``_Element`` trees: tag / attrib / text / tail /
+children — see SURVEY.md §2.1; reference cite upstream:inxs uses lxml,
+unverifiable this session because /root/reference is an empty mount).
+
+The subtle part reproduced here is the lxml/ElementTree *tail* model:
+text that follows an element's closing tag belongs to that element's
+``tail``, not to the parent. Document-order text extraction and the
+drop/unwrap handlers must honor it (SURVEY.md §3.B B1/B2).
+
+Pure Python, zero Spark imports — this module runs inside Arrow UDF
+batches on executors and serially in tests (it IS the parity oracle
+while the reference mount is empty, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+
+class Node:
+    """A mutable DOM element: tag, attributes, text, tail, children."""
+
+    __slots__ = ("tag", "attrib", "text", "tail", "children", "parent")
+
+    def __init__(
+        self,
+        tag: str,
+        attrib: Optional[dict] = None,
+        text: Optional[str] = None,
+        tail: Optional[str] = None,
+    ) -> None:
+        self.tag = tag
+        self.attrib: dict = attrib if attrib is not None else {}
+        self.text = text
+        self.tail = tail
+        self.children: list[Node] = []
+        self.parent: Optional[Node] = None
+
+    # -- structure ---------------------------------------------------
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def insert(self, index: int, child: "Node") -> None:
+        child.parent = self
+        self.children.insert(index, child)
+
+    def remove(self, child: "Node") -> None:
+        self.children.remove(child)
+        child.parent = None
+
+    def index(self, child: "Node") -> int:
+        return self.children.index(child)
+
+    def __iter__(self) -> Iterator["Node"]:
+        return iter(self.children)
+
+    def __len__(self) -> int:
+        return len(self.children)
+
+    # -- naming ------------------------------------------------------
+
+    @property
+    def namespace(self) -> Optional[str]:
+        """Clark-notation namespace URI, or None ('{uri}local')."""
+        if self.tag.startswith("{"):
+            return self.tag[1 : self.tag.index("}")]
+        return None
+
+    @property
+    def localname(self) -> str:
+        if self.tag.startswith("{"):
+            return self.tag[self.tag.index("}") + 1 :]
+        return self.tag
+
+    # -- text --------------------------------------------------------
+
+    def itertext(self) -> Iterator[str]:
+        """Document-order text: self.text, then each child's subtree
+        text followed by that child's tail (ElementTree semantics)."""
+        if self.text:
+            yield self.text
+        for child in self.children:
+            yield from child.itertext()
+            if child.tail:
+                yield child.tail
+
+    def full_text(self) -> str:
+        return "".join(self.itertext())
+
+    # -- paths -------------------------------------------------------
+
+    def path_from(self, root: "Node") -> str:
+        """Simple absolute path like ``/article/p[2]`` (1-indexed among
+        same-tag siblings), used in extraction spans."""
+        if self is root:
+            return "/" + root.localname
+        parts: list[str] = []
+        node: Node = self
+        while node is not root:
+            parent = node.parent
+            if parent is None:  # detached from root; best-effort
+                break
+            same = [c for c in parent.children if c.tag == node.tag]
+            if len(same) > 1:
+                parts.append(f"{node.localname}[{same.index(node) + 1}]")
+            else:
+                parts.append(node.localname)
+            node = parent
+        parts.append(root.localname)
+        return "/" + "/".join(reversed(parts))
+
+    # -- copies ------------------------------------------------------
+
+    def deepcopy(self) -> "Node":
+        clone = Node(self.tag, dict(self.attrib), self.text, self.tail)
+        for child in self.children:
+            clone.append(child.deepcopy())
+        return clone
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Node {self.tag} attrib={self.attrib} children={len(self.children)}>"
+
+
+def iter_subtree(node: Node) -> Iterator[Node]:
+    """Preorder, left-to-right (the default traversal)."""
+    yield node
+    for child in node.children:
+        yield from iter_subtree(child)

@@ -1,0 +1,259 @@
+"""Payload parsing: XML (ElementTree-backed) and tag-soup HTML.
+
+The reference library parses documents with ``lxml.etree`` / an HTML
+parser (SURVEY.md §2.1; lxml is unavailable in this environment —
+SURVEY.md §0). This module provides the same capability on the stdlib:
+
+- ``parse_xml``  — C-accelerated ``xml.etree.ElementTree`` parse,
+  converted to kernel :class:`~inxs_spark.kernel.nodes.Node` trees.
+- ``parse_html`` — ``html.parser.HTMLParser`` tree builder with
+  void-element and implied-end-tag handling (``<p>``, ``<li>``,
+  ``<td>`` …), since tag-soup HTML is a first-class payload kind
+  (FIXTURES.md §2).
+- ``sniff``      — classify a payload as xml / html / text / empty.
+- ``serialize``  — Node tree → markup string (round-trip for goldens).
+
+Pure Python + stdlib only; no Spark imports.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from html import escape
+from html.parser import HTMLParser
+from typing import Optional
+
+from .nodes import Node
+
+
+class ParseError(Exception):
+    """Raised when a payload cannot be parsed as its sniffed kind."""
+
+
+# ---------------------------------------------------------------------------
+# XML
+# ---------------------------------------------------------------------------
+
+def _from_etree(el: ET.Element) -> Node:
+    node = Node(el.tag, dict(el.attrib), el.text, el.tail)
+    for child in el:
+        node.append(_from_etree(child))
+    return node
+
+
+def parse_xml(payload: str) -> Node:
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as exc:
+        raise ParseError(f"xml parse error: {exc}") from exc
+    return _from_etree(root)
+
+
+# ---------------------------------------------------------------------------
+# HTML (tag soup)
+# ---------------------------------------------------------------------------
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Opening tag X implies closing any open tag in IMPLIED_END[X] first
+# (subset of the HTML5 tree-construction rules sufficient for
+# boilerplate-strip workloads; the supported-HTML contract is tested).
+_IMPLIED_END: dict[str, frozenset] = {
+    "p": frozenset({"p"}),
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "thead": frozenset({"tr", "td", "th"}),
+    "tbody": frozenset({"thead", "tr", "td", "th"}),
+    "option": frozenset({"option"}),
+    # block elements close an open <p>
+    "div": frozenset({"p"}),
+    "ul": frozenset({"p"}),
+    "ol": frozenset({"p"}),
+    "table": frozenset({"p"}),
+    "section": frozenset({"p"}),
+    "article": frozenset({"p"}),
+    "header": frozenset({"p"}),
+    "footer": frozenset({"p"}),
+    "nav": frozenset({"p"}),
+    "main": frozenset({"p"}),
+    "aside": frozenset({"p"}),
+    "h1": frozenset({"p"}),
+    "h2": frozenset({"p"}),
+    "h3": frozenset({"p"}),
+    "h4": frozenset({"p"}),
+    "h5": frozenset({"p"}),
+    "h6": frozenset({"p"}),
+    "pre": frozenset({"p"}),
+    "blockquote": frozenset({"p"}),
+}
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#fragment")
+        self.stack: list[Node] = [self.root]
+        self._last_closed: Optional[Node] = None
+
+    # text goes to the open element's text (if no children yet) or the
+    # last child's tail — the ElementTree text/tail model.
+    def _add_text(self, data: str) -> None:
+        if not data:
+            return
+        top = self.stack[-1]
+        if top.children:
+            last = top.children[-1]
+            last.tail = (last.tail or "") + data
+        else:
+            top.text = (top.text or "") + data
+
+    def handle_data(self, data: str) -> None:
+        self._add_text(data)
+
+    def handle_entityref(self, name: str) -> None:  # pragma: no cover
+        self._add_text(f"&{name};")
+
+    def _close_implied(self, tag: str) -> None:
+        closers = _IMPLIED_END.get(tag)
+        if not closers:
+            return
+        while len(self.stack) > 1 and self.stack[-1].tag in closers:
+            self.stack.pop()
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        tag = tag.lower()
+        self._close_implied(tag)
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        tag = tag.lower()
+        self._close_implied(tag)
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        # close up to the matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+
+def parse_html(payload: str) -> Node:
+    builder = _TreeBuilder()
+    try:
+        builder.feed(payload)
+        builder.close()
+    except Exception as exc:  # HTMLParser rarely raises, but be safe
+        raise ParseError(f"html parse error: {exc}") from exc
+    root = builder.root
+    # unwrap the synthetic fragment root when there is exactly one
+    # element child and no stray top-level text
+    elems = root.children
+    if len(elems) == 1 and not (root.text and root.text.strip()):
+        only = elems[0]
+        if not (only.tail and only.tail.strip()):
+            only.parent = None
+            only.tail = None
+            return only
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Sniffing
+# ---------------------------------------------------------------------------
+
+_HTML_HINT = re.compile(
+    r"<(?:!doctype\s+html|html|body|div|p|span|table|ul|ol|li|nav|main|header"
+    r"|footer|article|section|br|h[1-6])[\s/>]",
+    re.IGNORECASE,
+)
+_XML_DECL = re.compile(r"^\s*<\?xml", re.IGNORECASE)
+_TAG = re.compile(r"<[A-Za-z!?/]")
+
+
+def sniff(payload: Optional[str]) -> str:
+    """Classify payload → 'empty' | 'text' | 'html' | 'xml'."""
+    if payload is None or payload.strip() == "":
+        return "empty"
+    if not _TAG.search(payload):
+        return "text"
+    if _XML_DECL.match(payload):
+        return "xml"
+    if _HTML_HINT.search(payload):
+        return "html"
+    return "xml"
+
+
+def parse_payload(payload: str, kind: Optional[str] = None) -> tuple[Optional[Node], str]:
+    """Parse by sniffed kind. Returns (root_or_None, kind).
+
+    'empty' and 'text' return (None, kind) — callers handle them
+    without a DOM. XML that fails to parse falls back to the HTML
+    tag-soup parser only when it sniffs html-ish; otherwise raises.
+    """
+    k = kind or sniff(payload)
+    if k in ("empty", "text"):
+        return None, k
+    if k == "xml":
+        return parse_xml(payload), k
+    return parse_html(payload), k
+
+
+# ---------------------------------------------------------------------------
+# Serialization (tests / goldens / CLI)
+# ---------------------------------------------------------------------------
+
+def serialize(node: Node, html_mode: bool = False) -> str:
+    out: list[str] = []
+    _write(node, out, html_mode)
+    return "".join(out)
+
+
+def _write(node: Node, out: list[str], html_mode: bool) -> None:
+    if node.tag == "#fragment":
+        if node.text:
+            out.append(escape(node.text, quote=False))
+        for child in node.children:
+            _write(child, out, html_mode)
+            if child.tail:
+                out.append(escape(child.tail, quote=False))
+        return
+    tag = node.tag
+    ns_attr = ""
+    if tag.startswith("{"):
+        uri, local = tag[1:].split("}", 1)
+        tag = local
+        ns_attr = f' xmlns="{escape(uri)}"'
+    out.append(f"<{tag}{ns_attr}")
+    for k, v in node.attrib.items():
+        if k.startswith("{"):
+            k = k[k.index("}") + 1 :]
+        out.append(f' {k}="{escape(str(v))}"')
+    if not node.children and not node.text:
+        if html_mode and tag in VOID_ELEMENTS:
+            out.append(">")
+        else:
+            out.append("/>")
+    else:
+        out.append(">")
+        if node.text:
+            out.append(escape(node.text, quote=False))
+        for child in node.children:
+            _write(child, out, html_mode)
+            if child.tail:
+                out.append(escape(child.tail, quote=False))
+        out.append(f"</{tag}>")

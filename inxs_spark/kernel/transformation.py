@@ -1,0 +1,307 @@
+"""Transformation / Rule / dependency-injection executor.
+
+Reimplements the reference's execution model (SURVEY.md §3.A A1–A8,
+§4.1; upstream:inxs/__init__.py#Transformation/#Rule, unverifiable this
+session — SURVEY.md §0):
+
+1. deep-copy the input tree unless ``copy=False``
+2. build the context namespace from config ``context`` + call kwargs;
+   bind ``tree``/``root``/``transformation``/``config``
+3. run the ordered step list: a Rule traverses the tree and applies its
+   handler chain to every element matching ALL its conditions; a bare
+   callable runs once with dependency injection; a sequence of Rules is
+   a *grouped* step — one traversal, every element tested against each
+   rule of the group in order (A4; mechanism flagged [L] in SURVEY.md,
+   re-verify on reference mount)
+4. ``AbortRule`` stops the current rule, ``AbortTransformation`` stops
+   the step loop, ``SkipToNextElement`` cuts the handler chain for the
+   current element; the result is produced in all non-error cases
+5. the result is the object at config ``result_object`` (dotted path
+   over symbols; default ``'tree'`` — the transformed tree; use
+   ``'context.<attr>'`` for extraction-style transformations)
+
+Handlers and conditions receive arguments BY PARAMETER NAME from the
+symbol table {element, previous_result, context, config, root, tree,
+transformation, nsmap, _symbols} ∪ context attributes ∪ config keys —
+this name-based dependency injection is the reference's "query
+language" (SURVEY.md §2.1).
+
+Pure Python, zero Spark imports.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+from types import SimpleNamespace
+from typing import Callable, Optional, Sequence, Union
+
+from .conditions import Condition, DocumentState, normalize_condition
+from .errors import AbortRule, AbortTransformation, SkipToNextElement
+from .nodes import Node
+from .traverse import DEFAULT_TRAVERSAL, is_attached, traversal_nodes
+
+_EMPTY = inspect.Parameter.empty
+
+
+class Ref:
+    """Late-bound symbol reference (A7): resolved against the symbol
+    table at execution time."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+    def __repr__(self) -> str:
+        return f"Ref({self.name})"
+
+
+def _describe_callable(fn: Callable) -> str:
+    return getattr(fn, "_describe", None) or getattr(fn, "__qualname__", repr(fn))
+
+
+class Rule:
+    """Ordered condition list (AND-ed) + handler chain (A2)."""
+
+    def __init__(
+        self,
+        conditions,
+        handlers,
+        name: Optional[str] = None,
+        traversal_order: Optional[int] = None,
+    ) -> None:
+        if isinstance(conditions, (str, dict)) or callable(conditions) or isinstance(
+            conditions, Condition
+        ):
+            conditions = (conditions,)
+        self.conditions: list[Condition] = [normalize_condition(c) for c in conditions]
+        if callable(handlers):
+            handlers = (handlers,)
+        self.handlers: tuple[Callable, ...] = tuple(handlers)
+        self.name = name
+        self.traversal_order = traversal_order
+
+    def describe(self) -> str:
+        conds = ";".join(c.describe() for c in self.conditions)
+        hands = ";".join(_describe_callable(h) for h in self.handlers)
+        return f"Rule(name={self.name},traversal={self.traversal_order},conds=[{conds}],handlers=[{hands}])"
+
+
+Step = Union[Rule, Callable, Sequence[Rule]]
+
+
+class Transformation:
+    """Ordered step list + config (A1). Instances are reusable and
+    stateless across calls — all per-document state lives in a
+    :class:`_Execution`, so one broadcast Transformation can serve
+    every row of every Arrow batch concurrently."""
+
+    def __init__(self, *steps: Step, **config) -> None:
+        self.steps: list = []
+        for step in steps:
+            if isinstance(step, Rule) or callable(step):
+                self.steps.append(step)
+            elif isinstance(step, (list, tuple)):
+                group = list(step)
+                if not all(isinstance(r, Rule) for r in group):
+                    raise TypeError("grouped step must contain only Rules")
+                self.steps.append(group)
+            else:
+                raise TypeError(f"invalid step: {step!r}")
+        self.name: Optional[str] = config.pop("name", None)
+        self.base_context: dict = dict(config.pop("context", {}))
+        self.copy: bool = config.pop("copy", True)
+        self.result_object: Optional[str] = config.pop("result_object", "tree")
+        common = config.pop("common_rule_conditions", None)
+        if common is None:
+            self.common_rule_conditions: list[Condition] = []
+        else:
+            if isinstance(common, (str, dict)) or callable(common) or isinstance(
+                common, Condition
+            ):
+                common = (common,)
+            self.common_rule_conditions = [normalize_condition(c) for c in common]
+        self.traversal_order: int = config.pop("traversal_order", DEFAULT_TRAVERSAL)
+        self.nsmap: Optional[dict] = config.pop("nsmap", None)
+        if config:
+            raise TypeError(f"unknown Transformation config: {sorted(config)}")
+
+    # -- lineage -----------------------------------------------------
+
+    def describe(self) -> str:
+        parts = [f"Transformation(name={self.name},copy={self.copy},"
+                 f"result={self.result_object},traversal={self.traversal_order},"
+                 f"context_keys={sorted(self.base_context)})"]
+        for cond in self.common_rule_conditions:
+            parts.append(f"common:{cond.describe()}")
+        for step in self.steps:
+            if isinstance(step, Rule):
+                parts.append(step.describe())
+            elif isinstance(step, list):
+                parts.append("Group[" + ";".join(r.describe() for r in step) + "]")
+            else:
+                parts.append(f"Once({_describe_callable(step)})")
+        return "\n".join(parts)
+
+    def fingerprint(self) -> str:
+        """sha256 of the canonical description — the lineage
+        ``rule_set_hash`` (BASELINE.json:6)."""
+        return hashlib.sha256(self.describe().encode("utf-8")).hexdigest()
+
+    # -- execution ---------------------------------------------------
+
+    def __call__(self, root: Optional[Node], **context_kwargs):
+        execution = _Execution(self, root, context_kwargs)
+        return execution.run()
+
+
+class _Execution:
+    """One document's traversal state + symbol table."""
+
+    def __init__(self, transformation: Transformation, root: Optional[Node], kwargs: dict):
+        if root is not None and transformation.copy:
+            root = root.deepcopy()
+        self.transformation = transformation
+        self.root = root
+        ctx = dict(transformation.base_context)
+        ctx.update(kwargs)
+        self.context = SimpleNamespace(**ctx)
+        self.config = SimpleNamespace(
+            name=transformation.name,
+            copy=transformation.copy,
+            result_object=transformation.result_object,
+            **{k: v for k, v in transformation.base_context.items()},
+        )
+        self.element: Optional[Node] = None
+        self.previous_result = None
+        self._sig_cache: dict[int, inspect.Signature] = {}
+        self.state = DocumentState(root, self._resolve, transformation.nsmap)
+
+    # -- symbol table --------------------------------------------------
+
+    def _lookup(self, name: str):
+        if name == "_symbols":
+            return self._resolve
+        if name == "element":
+            if self.element is None:
+                raise KeyError("element")
+            return self.element
+        if name == "previous_result":
+            return self.previous_result
+        if name == "context":
+            return self.context
+        if name == "config":
+            return self.config
+        if name in ("root", "tree"):
+            if self.root is None:
+                raise KeyError(name)
+            return self.root
+        if name == "transformation":
+            return self.transformation
+        if name == "nsmap":
+            return self.transformation.nsmap
+        if hasattr(self.context, name):
+            return getattr(self.context, name)
+        if name in self.transformation.base_context:
+            return self.transformation.base_context[name]
+        raise KeyError(name)
+
+    def _resolve(self, target):
+        """Resolver handed to handlers as ``_symbols``: Ref → value;
+        callable → kwargs dict for dependency injection."""
+        if isinstance(target, Ref):
+            return self._lookup(target.name)
+        if isinstance(target, str):
+            return self._lookup(target)
+        sig = self._sig_cache.get(id(target))
+        if sig is None:
+            sig = inspect.signature(target)
+            self._sig_cache[id(target)] = sig
+        kwargs = {}
+        for pname, param in sig.parameters.items():
+            if param.kind in (
+                inspect.Parameter.VAR_POSITIONAL,
+                inspect.Parameter.VAR_KEYWORD,
+            ):
+                continue
+            try:
+                kwargs[pname] = self._lookup(pname)
+            except KeyError:
+                if param.default is _EMPTY:
+                    raise KeyError(
+                        f"cannot resolve symbol {pname!r} for "
+                        f"{_describe_callable(target)}"
+                    ) from None
+        return kwargs
+
+    # -- run -----------------------------------------------------------
+
+    def run(self):
+        try:
+            for step in self.transformation.steps:
+                if isinstance(step, Rule):
+                    self._apply_rules([step], step.traversal_order)
+                elif isinstance(step, list):
+                    order = next(
+                        (r.traversal_order for r in step if r.traversal_order), None
+                    )
+                    self._apply_rules(step, order)
+                else:
+                    self.previous_result = step(**self._resolve(step))
+        except AbortTransformation:
+            pass
+        return self._result()
+
+    def _apply_rules(self, rules: list, traversal_order: Optional[int]) -> None:
+        if self.root is None:
+            return
+        order = traversal_order or self.transformation.traversal_order
+        nodes = traversal_nodes(self.root, order)
+        active = set(range(len(rules)))
+        common = self.transformation.common_rule_conditions
+        try:
+            for node in nodes:
+                if not is_attached(node, self.root):
+                    continue  # dropped by an earlier handler this walk
+                self.element = node  # visible to DI conditions too
+                if common and not all(c(node, self.state) for c in common):
+                    continue
+                for ridx, rule in enumerate(rules):
+                    if ridx not in active:
+                        continue
+                    try:
+                        if not all(c(node, self.state) for c in rule.conditions):
+                            continue
+                        self._run_chain(rule, node)
+                    except SkipToNextElement:
+                        continue
+                    except AbortRule:
+                        active.discard(ridx)
+                        if not active:
+                            return
+                    if not is_attached(node, self.root):
+                        break  # this rule dropped the node; later group
+                        # members cannot match a detached element
+        finally:
+            self.element = None
+
+    def _run_chain(self, rule: Rule, node: Node) -> None:
+        self.element = node
+        self.previous_result = None
+        for handler in rule.handlers:
+            self.previous_result = handler(**self._resolve(handler))
+
+    def _result(self):
+        path = self.transformation.result_object
+        if path is None:
+            return None
+        first, _, rest = path.partition(".")
+        try:
+            value = self._lookup(first)
+        except KeyError:
+            raise AttributeError(f"result_object {path!r}: unknown symbol {first!r}")
+        while rest:
+            attr, _, rest = rest.partition(".")
+            value = getattr(value, attr)
+        return value
