@@ -1,0 +1,179 @@
+"""The Spark extraction pipeline (SURVEY.md §4.3, BASELINE.json:14).
+
+Plan shape::
+
+    scan (column-pruned to conv_id, turn_idx, text — Catalyst pushes
+          the projection into the Parquet/Iceberg scan)
+      → withColumn(salt = xxhash64(conv_id, turn_idx) % S)
+      → repartition(P, conv_id, salt)          [one Exchange]
+      → sortWithinPartitions(conv_id, turn_idx) [Tungsten sort, no shuffle]
+      → mapInArrow(kernel executor)             [the only Python hop]
+
+Skew: conversation lengths are Zipf-distributed (up to 2000 turns per
+conv_id); hashing conv_id alone would send whole conversations to one
+task. The salt spreads each conversation over ≤S partitions while the
+per-partition sort restores stable (conv_id, turn_idx) runs — per-turn
+extraction is row-independent, so correctness never depends on whole-
+conversation locality (SURVEY.md §5.2 ordering invariant).
+
+Vectorization: ``mapInArrow`` moves batches JVM→Python via Arrow IPC
+once per ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows — no
+per-row Python at the Spark API level (BASELINE.json:15). Inside the
+batch the kernel runs per document, exactly like the reference library
+would, minus lxml (SURVEY.md §0).
+
+Lineage: each task writes a per-partition metrics JSON (rows in/out,
+failures, wall ms, rule-set hash, input snapshot) via atomic rename —
+the sandbox stand-in for a metrics Iceberg table append
+(BASELINE.json:6). On a cluster this directory lives on shared storage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..extract import MAIN_CONTENT, extract_turn
+from ..kernel.transformation import Transformation
+
+OUTPUT_SPARK_SCHEMA = (
+    "conv_id string, turn_idx int, extracted_text string, "
+    "spans array<struct<start:int,end:int,path:string>>, failure string"
+)
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [("start", pa.int32()), ("end", pa.int32()), ("path", pa.string())]
+    )
+)
+
+_OUT_ARROW = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("extracted_text", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("failure", pa.string()),
+    ]
+)
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+def make_extract_fn(
+    transformation: Transformation,
+    metrics_dir: Optional[str] = None,
+    run_id: str = "",
+    chunk_id: int = -1,
+    input_snapshot_id: str = "",
+):
+    """Build the mapInArrow function. The transformation object is
+    captured in the closure — Spark cloudpickles it ONCE per job and
+    reuses it for every batch on a worker (no per-batch deserialize)."""
+    rule_set_hash = transformation.fingerprint()
+
+    def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        start = time.monotonic()
+        rows_in = rows_out = failures = 0
+        for batch in batches:
+            schema = batch.schema
+            conv = batch.column(schema.get_field_index("conv_id"))
+            turn = batch.column(schema.get_field_index("turn_idx"))
+            texts = batch.column(schema.get_field_index("text")).to_pylist()
+            rows_in += len(texts)
+            extracted: list[Optional[str]] = []
+            spans_col: list[list[tuple]] = []
+            fails: list[Optional[str]] = []
+            for payload in texts:
+                text, spans, failure = extract_turn(payload, transformation)
+                extracted.append(text)
+                spans_col.append(spans)
+                fails.append(failure)
+                if failure is not None:
+                    failures += 1
+            rows_out += len(texts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    conv.cast(pa.string()),
+                    turn.cast(pa.int32()),
+                    pa.array(extracted, type=pa.string()),
+                    pa.array(spans_col, type=SPAN_TYPE),
+                    pa.array(fails, type=pa.string()),
+                ],
+                schema=_OUT_ARROW,
+            )
+        if metrics_dir:
+            _write_partition_metrics(
+                metrics_dir, run_id, chunk_id, input_snapshot_id,
+                rule_set_hash, rows_in, rows_out, failures,
+                int((time.monotonic() - start) * 1000),
+            )
+
+    return extract_batches
+
+
+def _write_partition_metrics(
+    metrics_dir: str, run_id: str, chunk_id: int, input_snapshot_id: str,
+    rule_set_hash: str, rows_in: int, rows_out: int, failures: int,
+    wall_ms: int,
+) -> None:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    record = {
+        "run_id": run_id,
+        "chunk_id": chunk_id,
+        "partition_id": pid,
+        "input_snapshot_id": input_snapshot_id,
+        "rule_set_hash": rule_set_hash,
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "failures": failures,
+        "wall_ms": wall_ms,
+    }
+    os.makedirs(metrics_dir, exist_ok=True)
+    final = os.path.join(metrics_dir, f"c{chunk_id:04d}-p{pid:05d}.json")
+    tmp = os.path.join(metrics_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+    os.replace(tmp, final)  # atomic on POSIX; speculative retries
+    # overwrite with identical deterministic content (except wall_ms)
+
+
+def extract_df(
+    df: DataFrame,
+    transformation: Transformation = MAIN_CONTENT,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    metrics_dir: Optional[str] = None,
+    run_id: str = "",
+    chunk_id: int = -1,
+    input_snapshot_id: str = "",
+) -> DataFrame:
+    """transcripts → extracted(conv_id, turn_idx, extracted_text,
+    spans, failure). Pure transformation — callers choose the sink."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    fn = make_extract_fn(
+        transformation, metrics_dir, run_id, chunk_id, input_snapshot_id
+    )
+    pruned = df.select("conv_id", "turn_idx", "text")
+    salted = pruned.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)).cast("int"),
+    )
+    return (
+        salted.repartition(num_partitions, "conv_id", "salt")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("salt")
+        .mapInArrow(fn, OUTPUT_SPARK_SCHEMA)
+    )

@@ -1,0 +1,182 @@
+"""Resumable chunked extraction runner (SURVEY.md §8 M3;
+BASELINE.json:6 checkpoint manifest + lineage).
+
+Why chunks: a plain ``df.write`` commits atomically per JOB — if the
+driver dies at 90%, Parquet publishes nothing and a rerun starts from
+zero. At 10^12 turns that is unacceptable, so the runner splits the
+input into K chunks by INPUT FILE GROUPS (the sandbox analogue of
+splitting an Iceberg table by manifest/data files — no re-scan per
+chunk, exact coverage, no row ever in two chunks) and commits each
+chunk independently:
+
+    out_root/extracted/chunk=<k>/   per-chunk Parquet (job-atomic)
+    out_root/metrics/*.json         per-(chunk, partition) lineage rows
+    out_root/manifests/chunk-<k>.json  checkpoint manifest (atomic rename)
+    out_root/metrics_table/         compacted metrics Parquet
+
+Resume = anti-join the chunk list against completed manifests
+(broadcast the tiny manifest side — SURVEY.md §3.C joins row) and run
+only the difference. Completed chunks are never re-read or re-written,
+which the kill/rerun test asserts (SURVEY.md §6.2 item 4).
+
+In production the same structure maps to Iceberg: per-chunk appends in
+one transaction with a chunk watermark table, metrics as a real table
+append, snapshot-id pinning for input stability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..extract import MAIN_CONTENT
+from ..kernel.transformation import Transformation
+from ..sources.io import input_fingerprint
+from .extract_pipeline import extract_df
+
+METRICS_SCHEMA = (
+    "run_id string, chunk_id int, partition_id int, input_snapshot_id string, "
+    "rule_set_hash string, rows_in long, rows_out long, failures long, "
+    "wall_ms long"
+)
+
+
+def _chunk_files(df: DataFrame, chunks: int) -> list[list[str]]:
+    files = sorted(df.inputFiles())
+    if not files:
+        raise ValueError("input has no files")
+    chunks = min(chunks, len(files))
+    return [files[k::chunks] for k in range(chunks)]
+
+
+def _manifest_path(out_root: str, chunk_id: int) -> str:
+    return os.path.join(out_root, "manifests", f"chunk-{chunk_id:04d}.json")
+
+
+def _write_manifest(out_root: str, record: dict) -> None:
+    path = _manifest_path(out_root, record["chunk_id"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+    os.replace(tmp, path)
+
+
+def completed_chunks(spark: SparkSession, out_root: str) -> DataFrame:
+    """Manifest table of completed chunks (chunk_id, rows_out, ...)."""
+    manifest_dir = os.path.join(out_root, "manifests")
+    records = []
+    if os.path.isdir(manifest_dir):
+        for name in sorted(os.listdir(manifest_dir)):
+            if name.startswith("chunk-") and name.endswith(".json"):
+                with open(os.path.join(manifest_dir, name)) as fh:
+                    rec = json.load(fh)
+                if rec.get("status") == "completed":
+                    records.append((rec["chunk_id"], rec["rows_out"],
+                                    rec["input_snapshot_id"]))
+    return spark.createDataFrame(
+        records, "chunk_id int, rows_out long, input_snapshot_id string"
+    )
+
+
+def pending_chunks(spark: SparkSession, out_root: str, n_chunks: int) -> list[int]:
+    """chunk ids still to run: anti-join all-chunks against the
+    completed-manifest table (broadcast the small side)."""
+    all_chunks = spark.range(n_chunks).select(F.col("id").cast("int").alias("chunk_id"))
+    done = completed_chunks(spark, out_root)
+    pending = all_chunks.join(
+        F.broadcast(done), "chunk_id", "left_anti"
+    ).orderBy("chunk_id")
+    return [r.chunk_id for r in pending.collect()]
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    transformation: Transformation = MAIN_CONTENT,
+    chunks: int = 8,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 64,
+    run_id: Optional[str] = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns a summary dict."""
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+    snapshot = input_fingerprint(input_path)
+    rule_hash = transformation.fingerprint()
+    base = spark.read.parquet(input_path)
+    file_groups = _chunk_files(base, chunks)
+    n_chunks = len(file_groups)
+    todo = pending_chunks(spark, out_root, n_chunks)
+    metrics_dir = os.path.join(out_root, "metrics")
+    t0 = time.monotonic()
+    rows_total = 0
+    for chunk_id in todo:
+        chunk_df = spark.read.parquet(*file_groups[chunk_id])
+        out_path = os.path.join(out_root, "extracted", f"chunk={chunk_id}")
+        extracted = extract_df(
+            chunk_df,
+            transformation,
+            num_partitions=num_partitions,
+            salt_buckets=salt_buckets,
+            metrics_dir=metrics_dir,
+            run_id=run_id,
+            chunk_id=chunk_id,
+            input_snapshot_id=snapshot,
+        )
+        extracted.write.mode("overwrite").parquet(out_path)
+        rows_out = spark.read.parquet(out_path).count()
+        rows_total += rows_out
+        _write_manifest(
+            out_root,
+            {
+                "run_id": run_id,
+                "chunk_id": chunk_id,
+                "status": "completed",
+                "rows_out": rows_out,
+                "input_snapshot_id": snapshot,
+                "rule_set_hash": rule_hash,
+                "output_fingerprint": input_fingerprint(out_path),
+                "completed_at": time.time(),
+            },
+        )
+    compact_metrics(spark, out_root)
+    return {
+        "run_id": run_id,
+        "chunks_total": n_chunks,
+        "chunks_run": len(todo),
+        "chunks_skipped": n_chunks - len(todo),
+        "rows_written_this_run": rows_total,
+        "input_snapshot_id": snapshot,
+        "rule_set_hash": rule_hash,
+        "wall_s": round(time.monotonic() - t0, 3),
+        "output": os.path.join(out_root, "extracted"),
+    }
+
+
+def compact_metrics(spark: SparkSession, out_root: str) -> None:
+    """Fold per-partition metrics JSONs into the metrics Parquet table
+    (sandbox stand-in for the metrics Iceberg table append)."""
+    metrics_dir = os.path.join(out_root, "metrics")
+    if not os.path.isdir(metrics_dir):
+        return
+    paths = [
+        os.path.join(metrics_dir, n)
+        for n in sorted(os.listdir(metrics_dir))
+        if n.endswith(".json")
+    ]
+    if not paths:
+        return
+    df = spark.read.schema(METRICS_SCHEMA).json(paths)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_root, "metrics_table")
+    )
+
+
+def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_root, "extracted"))

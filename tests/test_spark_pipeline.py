@@ -1,0 +1,153 @@
+"""Spark-plane tests (SURVEY.md §6.2 items 2-4): e2e kernel parity,
+determinism across parallelism, resume exactness, lineage."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from inxs_spark.extract import MAIN_CONTENT, extract_turn
+from inxs_spark.plans.extract_pipeline import extract_df
+from inxs_spark.plans.runner import (
+    compact_metrics,
+    pending_chunks,
+    read_extracted,
+    run_extraction,
+)
+from inxs_spark.sources import synth
+
+
+def _serial_oracle():
+    """The kernel applied serially in document order — the parity
+    oracle while /root/reference is an empty mount (SURVEY.md §0)."""
+    expected = {}
+    for ordinal, length in synth.plan_conversations(synth.TIERS["tiny"]):
+        cid = synth.conv_id(ordinal)
+        for idx in range(length):
+            text, spans, failure = extract_turn(synth.payload(ordinal, idx))
+            expected[(cid, idx)] = (text, failure)
+    return expected
+
+
+def test_e2e_per_turn_text_equality(spark, tiny_transcripts):
+    """THE north-rule invariant: per-turn extracted-text equality under
+    stable (conv_id, turn_idx) ordering (BASELINE.json:14,15)."""
+    df = spark.read.parquet(tiny_transcripts)
+    rows = extract_df(df).collect()
+    expected = _serial_oracle()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (r.extracted_text, r.failure) == expected[(r.conv_id, r.turn_idx)], (
+            r.conv_id, r.turn_idx,
+        )
+
+
+def test_spans_land_in_extracted_text(spark, tiny_transcripts):
+    df = spark.read.parquet(tiny_transcripts)
+    for r in extract_df(df).limit(500).collect():
+        if r.extracted_text is None:
+            assert r.failure is not None
+            continue
+        for span in r.spans:
+            assert 0 <= span.start < span.end <= len(r.extracted_text)
+            assert span.path.startswith("/")
+
+
+def _sorted_hash(df):
+    from pyspark.sql import functions as F
+
+    return (
+        df.select("conv_id", "turn_idx", "extracted_text", "failure")
+        .orderBy("conv_id", "turn_idx")
+        .select(
+            F.sha2(
+                F.concat_ws(
+                    "\x01",
+                    "conv_id",
+                    F.col("turn_idx").cast("string"),
+                    F.coalesce("extracted_text", F.lit("\x02null")),
+                    F.coalesce("failure", F.lit("\x02null")),
+                ),
+                256,
+            ).alias("h")
+        )
+        .agg(F.sha2(F.concat_ws("", F.collect_list("h")), 256).alias("all"))
+        .collect()[0].all
+    )
+
+
+def test_determinism_across_partitioning(spark, tiny_transcripts):
+    """Same input at different parallelism / salt widths → identical
+    sorted output hash (SURVEY.md §6.2 item 3)."""
+    df = spark.read.parquet(tiny_transcripts)
+    h1 = _sorted_hash(extract_df(df, num_partitions=2, salt_buckets=4))
+    h2 = _sorted_hash(extract_df(df, num_partitions=16, salt_buckets=64))
+    h3 = _sorted_hash(extract_df(df, num_partitions=7, salt_buckets=1))
+    assert h1 == h2 == h3
+
+
+def test_resume_recomputes_only_missing_chunks(spark, tiny_transcripts, tmp_out):
+    summary1 = run_extraction(
+        spark, tiny_transcripts, tmp_out, chunks=4, num_partitions=4
+    )
+    assert summary1["chunks_run"] == summary1["chunks_total"]
+    full = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
+        for r in read_extracted(spark, tmp_out).collect()
+    }
+
+    # simulate partial loss: drop two chunks' data + manifests
+    for k in (1, 3):
+        shutil.rmtree(os.path.join(tmp_out, "extracted", f"chunk={k}"))
+        os.remove(os.path.join(tmp_out, "manifests", f"chunk-{k:04d}.json"))
+
+    assert pending_chunks(spark, tmp_out, summary1["chunks_total"]) == [1, 3]
+    # marker files to detect recomputation of completed chunks
+    untouched = {
+        k: os.path.getmtime(os.path.join(tmp_out, "manifests", f"chunk-{k:04d}.json"))
+        for k in (0, 2)
+    }
+
+    summary2 = run_extraction(
+        spark, tiny_transcripts, tmp_out, chunks=4, num_partitions=4
+    )
+    assert summary2["chunks_run"] == 2 and summary2["chunks_skipped"] == 2
+    for k, mtime in untouched.items():
+        path = os.path.join(tmp_out, "manifests", f"chunk-{k:04d}.json")
+        assert os.path.getmtime(path) == mtime  # not recomputed
+
+    resumed = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
+        for r in read_extracted(spark, tmp_out).collect()
+    }
+    assert resumed == full  # exact resume (BASELINE.json:14)
+
+
+def test_lineage_metrics(spark, tiny_transcripts, tmp_out):
+    summary = run_extraction(
+        spark, tiny_transcripts, tmp_out, chunks=2, num_partitions=4
+    )
+    metrics = spark.read.parquet(os.path.join(tmp_out, "metrics_table"))
+    rows = metrics.collect()
+    assert rows, "metrics table empty"
+    total_in = sum(r.rows_in for r in rows)
+    total_out = sum(r.rows_out for r in rows)
+    n_input = spark.read.parquet(tiny_transcripts).count()
+    assert total_in == total_out == n_input
+    hashes = {r.rule_set_hash for r in rows}
+    assert hashes == {MAIN_CONTENT.fingerprint()}
+    snapshots = {r.input_snapshot_id for r in rows}
+    assert snapshots == {summary["input_snapshot_id"]}
+    # failures are counted (synthetic mix includes ~3% malformed)
+    assert sum(r.failures for r in rows) > 0
+
+
+def test_manifest_contents(spark, tiny_transcripts, tmp_out):
+    run_extraction(spark, tiny_transcripts, tmp_out, chunks=2, num_partitions=2)
+    with open(os.path.join(tmp_out, "manifests", "chunk-0000.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["status"] == "completed"
+    assert manifest["rows_out"] > 0
+    assert manifest["rule_set_hash"] == MAIN_CONTENT.fingerprint()
+    assert manifest["output_fingerprint"].startswith("files-")
