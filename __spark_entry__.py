@@ -1,38 +1,468 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction; ``queries`` exposes one entry
+per implemented operator (SURVEY.md §3); ``oracle_sql`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query. Extraction and
+the LSH/ANN approximations are genuinely non-SQL-expressible → rows-
+only checks (documented per entry).
+
+Value-hash discipline: every float column is ROUNDED identically on
+both sides (Spark and DuckDB sum doubles in different orders); counts
+are cast to bigint; all computed columns share aliases between the
+Spark plan and the SQL text.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.sources.transcripts import ensure_transcripts, tier_for_sf_dir
+
+    path = ensure_transcripts(spark, tier_for_sf_dir(sf_dir))
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction over the synthetic transcript
+    table (tiny tier ≈ sf0.001), salted + sorted + mapInArrow."""
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    df = _transcripts(spark, "/root/testdata/sf0.001")
+    return extract_df(df)
+
+
+# ---------------------------------------------------------------------------
+# queries — SQL-expressible (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions (SURVEY.md §3.C
+    joins row): lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy(F.desc("price"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume anti-join pattern (broadcast left_anti)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    return (
+        cust.join(F.broadcast(orders), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("latest_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.text import fingerprint
+
+    return (
+        fingerprint(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "fp_md5", "fp_block")
+        .orderBy("doc_id")
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents")).orderBy("fp_md5")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.4, block_col="lang"
+    ).orderBy("id_a", "id_b")
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding").cast("array<double>")), 4).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (self excluded)."""
+    from inxs_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("q_emb").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — not SQL-expressible (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def x_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (kernel inside mapInArrow) — the rules
+    engine itself cannot be expressed in ANSI SQL."""
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    return extract_df(_transcripts(spark, sf_dir))
+
+
+def x_extract_failure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    return (
+        extract_df(_transcripts(spark, sf_dir))
+        .groupBy("failure")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("failure")
+    )
+
+
+def x_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5,
+        num_perm=32, bands=8,
+    ).orderBy("id_a", "id_b")
+
+
+def x_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    return ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8)
+
+
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inxs_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 256))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_regional_revenue": q_regional_revenue,
+        "q_top_parts": q_top_parts,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_latest_order_per_customer": q_latest_order_per_customer,
+        "q_events_hourly": q_events_hourly,
+        "q_token_counts": q_token_counts,
+        "q_quality_scores": q_quality_scores,
+        "q_language_id": q_language_id,
+        "q_fingerprints": q_fingerprints,
+        "q_exact_dup_groups": q_exact_dup_groups,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_embedding_norms": q_embedding_norms,
+        "q_cosine_topk": q_cosine_topk,
+        "x_extract_transcripts": x_extract_transcripts,
+        "x_extract_failure_profile": x_extract_failure_profile,
+        "x_minhash_dup_pairs": x_minhash_dup_pairs,
+        "x_simhash_dup_pairs": x_simhash_dup_pairs,
+        "x_ann_topk": x_ann_topk,
+        "x_media_features": x_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_EN = "'the','and','of','to','is','in','it','you','that','was'"
+_DE = "'der','die','und','das','ist','nicht','ein','ich','mit','sie'"
+_FR = "'le','la','et','les','des','est','une','dans','que','pour'"
+_ES = "'el','la','que','de','los','se','las','por','un','para'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_regional_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_top_parts": """
+            SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+            FROM part ORDER BY price DESC, p_partkey ASC LIMIT 10
+        """,
+        "q_customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q_latest_order_per_customer": """
+            SELECT o_custkey,
+                   latest_orderkey,
+                   latest_totalprice
+            FROM (
+                SELECT o_custkey, o_orderkey AS latest_orderkey,
+                       round(o_totalprice, 2) AS latest_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_token_counts": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+                                   x -> x != '')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q_quality_scores": rf"""
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+                       len(list_filter(string_split(text, ' '),
+                                       x -> x IN ({_EN}))) AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round((n_chars - (n_tokens - 1)) / n_tokens, 3) AS mean_token_len,
+                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                   round(0.5 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * least(stop_hits / greatest(n_tokens, 1) * 5, 1.0)
+                       + 0.2 * (1 - least(n_punct / greatest(n_chars, 1) * 4, 1.0)), 4)
+                       AS quality
+            FROM f ORDER BY doc_id
+        """,
+        "q_language_id": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_EN}))) AS en,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_DE}))) AS de,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_FR}))) AS fr,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_ES}))) AS es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   greatest(en, de, fr, es) AS stopword_hits
+            FROM h ORDER BY doc_id
+        """,
+        "q_fingerprints": """
+            SELECT doc_id, md5(text) AS fp_md5,
+                   length(text)::varchar || ':' || substring(text, 1, 16) AS fp_block
+            FROM documents ORDER BY doc_id
+        """,
+        "q_exact_dup_groups": """
+            SELECT md5(text) AS fp_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp_md5
+        """,
+        "q_ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id AS id, lang,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+                       )) AS grams
+                FROM documents
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))
+                       / (len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+            FROM g a JOIN g b ON a.lang = b.lang AND a.id < b.id
+            WHERE len(list_intersect(a.grams, b.grams))
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        "q_embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+            FROM embeddings ORDER BY vec_id
+        """,
+        "q_cosine_topk": """
+            WITH q AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+                SELECT vec_id,
+                       round(
+                         list_sum(list_transform(range(1, len(e.de) + 1),
+                                  i -> e.de[i] * q.qe[i]))
+                         / (sqrt(list_sum(list_transform(e.de, x -> x * x)))
+                          * sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 4) AS cos
+                FROM (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                      FROM embeddings WHERE vec_id != 0) e, q
+            )
+            SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+    }

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. Designed for the 100 TB path:
+
+- exact: one hash-aggregate shuffle on a 16-byte digest (never the
+  full text) — partial aggregation map-side, AQE handles skew.
+- MinHash+LSH: signatures are pure JVM column expressions (xxhash64
+  over character shingles — no Python, whole-stage codegen); banding
+  explodes to (band, key) and one groupBy finds candidate buckets;
+  hot buckets are capped to bound the quadratic pair expansion.
+- SimHash: one vectorized Pandas UDF (numpy bit-twiddling — the only
+  place Python genuinely beats a 64-lambda expression tree), then
+  block-index on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ one of 4
+  blocks equal) and verify with JVM-side bit_count(xor).
+- n-gram Jaccard: exact verification on candidate pairs via
+  array_intersect/array_union — JVM-side set ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (fp_md5, n_dups, keep_id). The
+    shuffle key is the digest, not the document."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp_md5"), F.col(id_col))
+        .groupBy("fp_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    from pyspark.sql.window import Window
+
+    ranked = df.withColumn("__fp", F.md5(F.col(text_col))).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__fp").orderBy(id_col)),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__fp", "__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (character shingles)
+# ---------------------------------------------------------------------------
+
+def shingles(text_col: str, k: int = 5) -> Column:
+    """Distinct character k-shingles, JVM-side."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {k})))"
+    )
+
+
+def minhash_signature(shingle_col: str, num_perm: int = 64) -> list[Column]:
+    """num_perm min-hashes; permutation j = xxhash64(shingle, seed=j).
+    Pure JVM expressions — codegen'd, no Python."""
+    return [
+        F.array_min(
+            F.transform(F.col(shingle_col), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+        ).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
+
+    rows-per-band r = num_perm/bands; two docs collide in a band iff
+    all r mins agree → P(candidate) ≈ 1-(1-J^r)^bands. Hot buckets
+    (boilerplate-identical shingle sets) are capped at ``max_bucket``
+    ids to bound the quadratic expansion — the cap is logged as a
+    dropped-coverage column, not silent (brief: no silent caps).
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "bands must divide num_perm"
+    sig = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+        .select("id", *minhash_signature("sh", num_perm))
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = exploded.groupBy("band", "key").agg(
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"),
+        F.count("*").alias("bucket_size"),
+    ).filter(F.size("ids") > 1)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> struct(a as id_a, b as id_b))))"
+                )
+            ).alias("p"),
+            F.col("bucket_size"),
+        )
+        .select(F.col("p.id_a"), F.col("p.id_b"), "bucket_size")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_bands"),
+            F.max("bucket_size").cast("long").alias("max_bucket_size"),
+        )
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs (JVM array set ops);
+    keeps pairs ≥ threshold. Joins are id→shingle lookups; at scale the
+    pairs side is small relative to the corpus, so AQE broadcasts it."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.7,
+                        **lsh_kwargs) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    return jaccard_verify(df, cands, id_col, text_col,
+                          k=lsh_kwargs.get("k", 5), threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word) Jaccard — exact, for oracle-checkable small-scale runs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard ≥ threshold, optionally blocked on
+    a column (e.g. lang) to bound the join. O(n²) within block — this
+    is the EXACT oracle-checkable variant; at scale use minhash_dedup_
+    pairs, which approximates the same output."""
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n} + 1, 1)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+    )
+    extra = [F.col(block_col).alias("blk")] if block_col else []
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"), *extra)
+    blk = ["blk"] if block_col else []
+    a = base.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"), *blk)
+    b = base.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"), *blk)
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — vectorized numpy bit
+    count per batch (Arrow transfer; no per-row Python at the API
+    level). Python here beats a 64-lambda JVM expression tree."""
+    import numpy as np
+
+    from hashlib import blake2b
+
+    def h64(token: str) -> int:
+        # process-independent (Python's builtin hash() is salted)
+        return int.from_bytes(blake2b(token.encode(), digest_size=8).digest(), "big")
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        toks = set(text.split(" "))
+        hashes = np.fromiter((h64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+        votes = bits.sum(axis=0) * 2 - len(hashes)
+        sim = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
+    blocking: with 4 16-bit blocks, hamming ≤ 3 guarantees at least one
+    identical block — candidates share a (block_idx, block_value) key;
+    verification is JVM-side bit_count(xor)."""
+    sigs = simhash(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    blocks = sigs.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("id", "simhash", F.col("bv.blk"), F.col("bv.val"))
+    a = blocks.select(F.col("blk"), F.col("val"), F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = blocks.select(F.col("blk"), F.col("val"), F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

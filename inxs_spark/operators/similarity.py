@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk`` — brute-force cosine top-k against a query vector,
+  entirely JVM-side (zip_with + aggregate; whole-stage codegen). The
+  correctness baseline: one scan, one narrow top-k (TakeOrdered), no
+  shuffle of the embedding column.
+- ``hyperplane_lsh_buckets`` / ``ann_topk`` — the scale path: random-
+  hyperplane LSH (sign bits of H dot products → bucket key). At 100 TB
+  you pre-bucket once (one shuffle, or bucketed table layout), then a
+  query probes its own bucket + hamming-1 neighbors instead of scanning
+  everything. Planes are seeded numpy → deterministic.
+- ``pairwise_ann_candidates`` — all-pairs near-neighbor candidates via
+  shared bucket, for embedding-cosine near-dup detection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """Brute-force cosine top-k. The plan is scan → project → TakeOrdered
+    (no full sort, no shuffle of embeddings)."""
+    q = _lit_vec(query_vec)
+    out = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_key(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit h set iff dot(vec, plane_h) > 0."""
+    key = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for h, plane in enumerate(planes):
+        bit = F.when(dot(v, _lit_vec(plane)) > 0, F.lit(1)).otherwise(F.lit(0))
+        key = key + (bit.cast("long") * F.lit(int(2 ** h)))
+    return key
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        bucket_key(vec_col, planes).alias("bucket"),
+    )
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ hamming-1
+    neighbors) and rank by exact cosine inside the candidate set. At
+    scale the bucketed table is precomputed; candidates are a ~2^-p
+    fraction of the corpus."""
+    qv = np.asarray(list(query_vec), dtype=float)
+    planes = hyperplanes(len(qv), n_planes, seed)
+    qbucket = 0
+    for h, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) > 0:
+            qbucket |= 1 << h
+    probes = [qbucket]
+    if multiprobe:
+        probes += [qbucket ^ (1 << h) for h in range(n_planes)]
+    bucketed = hyperplane_lsh_buckets(df, len(qv), n_planes, id_col, vec_col, seed)
+    cands = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cands, qv, k, id_col, vec_col)
+
+
+def pairwise_ann_candidates(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same LSH bucket → exact cosine
+    ≥ min_cos. One shuffle on the bucket key; quadratic only within
+    buckets (expected size corpus/2^p)."""
+    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine(F.col("v_a").cast("array<double>"),
+                       F.col("v_b").cast("array<double>")),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators over a documents table: token counting,
+quality scoring, language ID, fingerprinting.
+
+All JVM-side column expressions (whole-stage codegen; no Python in the
+hot path). Each has an ANSI-SQL equivalent in ``__spark_entry__.
+oracle_sql`` — numeric outputs are ROUNDED in both engines because the
+driver hash-compares values and float summation order differs between
+Spark and DuckDB.
+
+At 100 TB these are embarrassingly parallel single-pass projections:
+no shuffle, filters/column-prune push into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny multilingual stopword lists for the n-gram/stopword language
+# heuristic; deterministic and identical in the DuckDB oracle SQL
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "it", "you", "that", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "ich", "mit", "sie"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "que", "de", "los", "se", "las", "por", "un", "para"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single-space — matches the synthetic
+    corpus and the DuckDB oracle exactly)."""
+    return F.split(F.col(col), " ")
+
+
+def bpe_ish_tokens(col: str = "text") -> Column:
+    """BPE-ish regex tokenization: words, numbers, or single
+    punctuation — the classic GPT-2-style pre-tokenizer shape."""
+    return F.expr(
+        rf"filter(regexp_extract_all({col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0), x -> x != '')"
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _stopword_hits(text_col: str, words: tuple) -> Column:
+    quoted = ",".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x in ({quoted})))"
+    ).cast("long")
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features plus a
+    single blended score in [0,1]."""
+    n_chars = F.length(F.col(text_col))
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # spaces excluded
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")
+    )
+    stop_hits = _stopword_hits(text_col, STOPWORDS["en"])
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.5) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 3).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: argmax of per-language hit
+    counts; 'und' (undetermined) when all are zero."""
+    hits = {lang: _stopword_hits(text_col, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # dict order fixed → deterministic tie-break
+        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        lang_expr.alias("lang_pred"),
+        best.cast("long").alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 (exact-dup key), a 64-bit xxhash, and
+    a length+prefix weak key for cheap blocking."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        F.xxhash64(F.col(text_col)).alias("fp_xx64"),
+        F.concat_ws(
+            ":",
+            F.length(F.col(text_col)).cast("string"),
+            F.substring(F.col(text_col), 1, 16),
+        ).alias("fp_block"),
+    )
