@@ -75,12 +75,14 @@ def main_content_transformation() -> Transformation:
         Rule({"class": _JUNK_CLASS}, (lib.append("trash", el),), name="collect-junk-classed"),
         Rule("ref", (lib.append("cites", el),), name="collect-cites"),
         Rule("stdout", (lib.append("unwraps", el),), name="collect-stdout"),
-    ]
-    return Transformation(
-        classify,  # grouped step: ONE traversal, four rules (A4)
+        # formatting rules ride the same traversal (disjoint tags, no
+        # interaction with the collectors → one walk instead of four)
         Rule("td", (_ensure_tail("\t"),), name="format-td"),
         Rule("th", (_ensure_tail("\t"),), name="format-th"),
         Rule("tr", (_ensure_tail("\n"),), name="format-tr"),
+    ]
+    return Transformation(
+        classify,  # grouped step: ONE traversal, seven rules (A4)
         lib.remove_elements("trash"),
         lib.remove_elements("cites", preserve_tail=True),
         lib.remove_elements(
@@ -104,22 +106,38 @@ def text_with_spans(root: Node) -> tuple[str, list[tuple[int, int, str]]]:
     spans: list[tuple[int, int, str]] = []
     offset = 0
 
-    def visit(node: Node) -> None:
+    # paths are built incrementally during the walk (equivalent to
+    # Node.path_from but O(1) per node instead of an upward walk per
+    # text segment — profiled hot spot)
+    def visit(node: Node, path: str) -> None:
         nonlocal offset
         if node.text:
             start = offset
             offset += len(node.text)
             parts.append(node.text)
-            spans.append((start, offset, node.path_from(root)))
-        for child in node.children:
-            visit(child)
+            spans.append((start, offset, path))
+        children = node.children
+        if not children:
+            return
+        counts: dict[str, int] = {}
+        for child in children:
+            counts[child.tag] = counts.get(child.tag, 0) + 1
+        seen: dict[str, int] = {}
+        for child in children:
+            if counts[child.tag] > 1:
+                nth = seen.get(child.tag, 0) + 1
+                seen[child.tag] = nth
+                cpath = f"{path}/{child.localname}[{nth}]"
+            else:
+                cpath = f"{path}/{child.localname}"
+            visit(child, cpath)
             if child.tail:
                 start = offset
                 offset += len(child.tail)
                 parts.append(child.tail)
-                spans.append((start, offset, child.path_from(root)))
+                spans.append((start, offset, cpath))
 
-    visit(root)
+    visit(root, "/" + root.localname)
     return "".join(parts), spans
 
 

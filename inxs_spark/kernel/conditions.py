@@ -158,8 +158,20 @@ class MatchesAttributes(Condition):
 class Any(Condition):
     def __init__(self, *conditions) -> None:
         self.conditions = [normalize_condition(c) for c in conditions]
+        # fast path: OR of plain tag tests → one frozenset membership
+        # check instead of N condition calls (hot in boilerplate rules)
+        self._tag_set = (
+            frozenset(c.tag for c in self.conditions)
+            if all(isinstance(c, MatchesTag) for c in self.conditions)
+            else None
+        )
 
     def __call__(self, element: Node, state: DocumentState) -> bool:
+        if self._tag_set is not None:
+            return (
+                element.tag in self._tag_set
+                or element.localname in self._tag_set
+            )
         return any(c(element, state) for c in self.conditions)
 
     def describe(self) -> str:

@@ -126,6 +126,11 @@ class Transformation:
         self.nsmap: Optional[dict] = config.pop("nsmap", None)
         if config:
             raise TypeError(f"unknown Transformation config: {sorted(config)}")
+        # param-plan cache shared by ALL executions of this (immutable)
+        # transformation: id(fn) → [(name, has_default)]. Keeps
+        # inspect.signature out of the per-document hot path — worth
+        # ~16% of kernel time (profiled).
+        self._param_plans: dict[int, list[tuple[str, bool]]] = {}
 
     # -- lineage -----------------------------------------------------
 
@@ -175,7 +180,7 @@ class _Execution:
         )
         self.element: Optional[Node] = None
         self.previous_result = None
-        self._sig_cache: dict[int, inspect.Signature] = {}
+        self._param_plans = transformation._param_plans
         self.state = DocumentState(root, self._resolve, transformation.nsmap)
 
     # -- symbol table --------------------------------------------------
@@ -214,21 +219,23 @@ class _Execution:
             return self._lookup(target.name)
         if isinstance(target, str):
             return self._lookup(target)
-        sig = self._sig_cache.get(id(target))
-        if sig is None:
-            sig = inspect.signature(target)
-            self._sig_cache[id(target)] = sig
+        plan = self._param_plans.get(id(target))
+        if plan is None:
+            plan = []
+            for pname, param in inspect.signature(target).parameters.items():
+                if param.kind in (
+                    inspect.Parameter.VAR_POSITIONAL,
+                    inspect.Parameter.VAR_KEYWORD,
+                ):
+                    continue
+                plan.append((pname, param.default is not _EMPTY))
+            self._param_plans[id(target)] = plan
         kwargs = {}
-        for pname, param in sig.parameters.items():
-            if param.kind in (
-                inspect.Parameter.VAR_POSITIONAL,
-                inspect.Parameter.VAR_KEYWORD,
-            ):
-                continue
+        for pname, has_default in plan:
             try:
                 kwargs[pname] = self._lookup(pname)
             except KeyError:
-                if param.default is _EMPTY:
+                if not has_default:
                     raise KeyError(
                         f"cannot resolve symbol {pname!r} for "
                         f"{_describe_callable(target)}"

