@@ -1,0 +1,227 @@
+"""Operator tests: dedup, similarity, text analysis, multimodal
+plumbing — plus plan-shape assertions (column pruning, broadcast)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "completely different content about spark engines", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (5, "der schnelle braune fuchs springt ueber den faulen hund", "de"),
+        (6, "la volpe marrone salta sopra il cane pigro oggi bene", "it"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestDedup:
+    def test_exact_duplicate_groups(self, docs):
+        from inxs_spark.operators.dedup import exact_duplicate_groups
+
+        groups = exact_duplicate_groups(docs).collect()
+        assert len(groups) == 1
+        assert groups[0].n_dups == 2 and groups[0].keep_id == 1
+
+    def test_exact_dedup_keeps_min_id(self, docs):
+        from inxs_spark.operators.dedup import exact_dedup
+
+        kept = {r.doc_id for r in exact_dedup(docs).collect()}
+        assert kept == {1, 2, 3, 5, 6}
+
+    def test_minhash_finds_near_dup(self, docs):
+        from inxs_spark.operators.dedup import minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(
+            docs, threshold=0.5, num_perm=32, bands=16
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        # exact dup pair always found; near-dup (1,2)/(2,4) expected
+        # with 16 bands of 2 rows at J≈0.7
+        assert (1, 4) in got
+        assert (1, 2) in got or (2, 4) in got
+        for r in pairs:
+            if (r.id_a, r.id_b) == (1, 4):
+                assert r.jaccard == 1.0
+
+    def test_ngram_jaccard_exact_value(self, spark):
+        from inxs_spark.operators.dedup import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+        )
+        # bigrams: {ab,bc,cd} vs {ab,bc,ce} → J = 2/4 = 0.5
+        rows = ngram_jaccard_pairs(df, n=2, threshold=0.4).collect()
+        assert len(rows) == 1 and rows[0].jaccard == 0.5
+
+    def test_simhash_identical_and_near(self, docs):
+        from inxs_spark.operators.dedup import simhash, simhash_dup_pairs
+
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 simhash_dup_pairs(docs, max_hamming=10).collect()}
+        assert pairs.get((1, 4)) == 0  # identical text → identical simhash
+        # short docs give noisy simhash (few tokens → many near-tied
+        # bit votes), so near-dup detection via the ≤3-hamming block
+        # index is only guaranteed for long documents; assert the
+        # signature ORDERING property instead
+        sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+        def ham(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+    def test_minhash_bucket_cap_bounds_pairs(self, spark):
+        from inxs_spark.operators.dedup import minhash_lsh_candidates
+
+        df = spark.createDataFrame(
+            [(i, "identical text repeated many times for bucket cap") for i in range(50)],
+            "doc_id long, text string",
+        )
+        cands = minhash_lsh_candidates(df, num_perm=16, bands=4, max_bucket=10)
+        rows = cands.collect()
+        # capped at 10 ids → at most C(10,2)=45 pairs, never C(50,2)
+        assert 0 < len(rows) <= 45
+        assert all(r.max_bucket_size == 50 for r in rows)  # cap is visible
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, spark):
+        from inxs_spark.operators.similarity import cosine_topk
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]), (4, [1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        top = cosine_topk(df, [1.0, 0.0], k=3, exclude_id=0).collect()
+        assert [r.vec_id for r in top] == [4, 1, 2]
+        assert top[0].cos == 1.0
+
+    def test_ann_topk_recall_vs_brute_force(self, spark):
+        import numpy as np
+
+        from inxs_spark.operators.similarity import ann_topk, cosine_topk
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((200, 16)).astype(float)
+        query = base[0] + 0.01 * rng.standard_normal(16)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        brute = [r.vec_id for r in cosine_topk(df, query, k=5).collect()]
+        approx = [r.vec_id for r in ann_topk(df, query, k=5, n_planes=6).collect()]
+        assert brute[0] == 0  # nearest is the perturbed source vector
+        assert len(set(brute) & set(approx)) >= 3  # multiprobe recall
+
+    def test_pairwise_ann_candidates(self, spark):
+        from inxs_spark.operators.similarity import pairwise_ann_candidates
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r.id_a, r.id_b) for r in
+                 pairwise_ann_candidates(df, dim=3, n_planes=4, min_cos=0.95).collect()}
+        assert (1, 2) in pairs
+        assert all(p == (1, 2) for p in pairs)
+
+
+class TestTextOps:
+    def test_token_count(self, spark):
+        from inxs_spark.operators.text import token_count
+
+        df = spark.createDataFrame(
+            [(1, "hello world, it's 42 degrees!")], "doc_id long, text string"
+        )
+        row = token_count(df).collect()[0]
+        assert row.n_tokens == 5
+        # BPE-ish: hello world , it ' s 42 degrees ! → 9
+        assert row.n_bpe_tokens == 9
+
+    def test_language_id(self, spark):
+        from inxs_spark.operators.text import language_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is warm"),
+                (2, "der hund ist nicht mit der katze und sie"),
+                (3, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "und"}
+
+    def test_quality_score_bounds(self, spark):
+        from inxs_spark.operators.text import quality_score
+
+        df = spark.createDataFrame(
+            [(1, "the fox and the dog ran to the barn in the field"),
+             (2, "!!! ??? *** ### $$$")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in quality_score(df).collect()}
+        assert 0.0 <= rows[2].quality < rows[1].quality <= 1.0
+        assert rows[2].punct_ratio > 0.5
+
+
+class TestMultimodal:
+    def test_feature_extraction_deterministic(self, spark):
+        from inxs_spark.operators.multimodal import extract_features, synth_media
+
+        media = synth_media(spark, 32)
+        a = extract_features(media).orderBy("media_id").collect()
+        b = extract_features(media).orderBy("media_id").collect()
+        assert a == b
+        assert len(a) == 32
+        assert all(len(r.feature) == 8 for r in a)
+        assert all(0.0 <= x <= 1.0 for r in a for x in r.feature)
+
+    def test_real_decoder_raises(self, spark):
+        from inxs_spark.operators.multimodal import extract_features, synth_media
+
+        with pytest.raises(NotImplementedError):
+            extract_features(synth_media(spark, 2), decoder="pil")
+
+    def test_frame_sample(self, spark):
+        from inxs_spark.operators.multimodal import frame_sample, synth_media
+
+        media = synth_media(spark, 30)
+        frames = frame_sample(media, every_ms=500)
+        rows = frames.collect()
+        assert rows and all(r.frame_ts_ms % 500 == 0 for r in rows)
+        n_videos = media.filter("kind = 'video'").count()
+        assert frames.select("media_id").distinct().count() == n_videos
+
+
+class TestPlanShape:
+    """The plans we'd want at 100 TB, asserted on .explain output."""
+
+    def test_extraction_scan_prunes_columns(self, spark, tiny_transcripts):
+        from inxs_spark.plans.extract_pipeline import extract_df
+
+        plan = extract_df(spark.read.parquet(tiny_transcripts))._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        # role/tool/ts never reach the scan output
+        assert "role" not in read_schema and "tool" not in read_schema
+        assert "conv_id" in read_schema and "text" in read_schema
+
+    def test_filter_pushdown_reaches_scan(self, spark, tiny_transcripts):
+        df = spark.read.parquet(tiny_transcripts).filter(F.col("role") == "tool").select("conv_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan
+
+    def test_regional_revenue_broadcasts_dims(self, spark):
+        import __spark_entry__ as entry
+
+        plan = entry.q_regional_revenue(spark, "/root/testdata/sf0.001") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
