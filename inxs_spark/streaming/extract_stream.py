@@ -1,0 +1,86 @@
+"""Streaming extraction: readStream → (per microbatch) the SAME batch
+pipeline → append sink; plus event-time windowed aggregation with
+watermarked late-data handling.
+
+Design: ``foreachBatch`` reuses :func:`inxs_spark.plans.extract_
+pipeline.extract_df` unchanged — salting, per-partition sort and the
+Arrow kernel UDF are identical code paths to the batch job, so batch/
+stream parity is structural, not re-implemented. (A direct
+``mapInArrow`` on the stream would also work but would lose the
+within-microbatch sort, which Structured Streaming forbids outside
+foreachBatch.)
+
+In production the source is an Iceberg/Kafka stream of transcript
+appends; here the file source stands in (same exactly-once file-sink
+semantics via the checkpoint dir).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.extract_pipeline import extract_df
+from ..sources.transcripts import TRANSCRIPTS_SPARK_SCHEMA
+
+
+def streaming_extract(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    available_now: bool = True,
+    num_partitions: Optional[int] = None,
+):
+    """Start (and with available_now=True, run to completion) the
+    streaming extraction. Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_path)
+    )
+    out_path = os.path.join(out_root, "extracted_stream")
+    checkpoint = os.path.join(out_root, "checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            extract_df(batch_df, num_partitions=num_partitions)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_turn_rates(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed turn counts per role with a watermark for
+    late data — the streaming-state surface (window + watermark +
+    append mode). Returns the streaming DataFrame; callers attach a
+    sink."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+        .parquet(input_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("role"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
