@@ -79,11 +79,16 @@ def _remove_one(
     if parent is None:  # root: clear it instead of detaching
         if keep_children:
             return
+        for child in element.children:
+            child.parent = None
         element.children.clear()
         if not preserve_text:
             element.text = None
         return
-    idx = parent.index(element)
+    try:
+        idx = parent.index(element)
+    except ValueError:
+        return  # already detached (an ancestor was dropped first)
     parent.children.pop(idx)
     element.parent = None
     if keep_children:

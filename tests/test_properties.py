@@ -1,0 +1,132 @@
+"""Property-based kernel tests (SURVEY.md §6.2 item 5): random small
+DOMs → structural invariants of extraction, drop/unwrap, and parsing."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from inxs_spark.extract import text_with_spans
+from inxs_spark.kernel import Node, Ref, Rule, Transformation, parse_xml, serialize
+from inxs_spark.kernel import lib
+
+TAGS = ("a", "b", "c", "keep", "x")
+TEXT_ALPHABET = string.ascii_lowercase + " .,"
+
+texts = st.one_of(st.none(), st.text(TEXT_ALPHABET, min_size=1, max_size=8))
+
+
+@st.composite
+def random_node(draw, depth=0):
+    node = Node(
+        draw(st.sampled_from(TAGS)),
+        {k: draw(st.text(string.ascii_lowercase, min_size=1, max_size=4))
+         for k in draw(st.lists(st.sampled_from(("id", "cls")), unique=True, max_size=2))},
+        draw(texts),
+    )
+    if depth < 3:
+        for child in draw(st.lists(random_node(depth=depth + 1), max_size=3)):
+            child.tail = draw(texts)
+            node.append(child)
+    return node
+
+
+@settings(max_examples=120, deadline=None)
+@given(random_node())
+def test_spans_tile_extracted_text_exactly(root):
+    text, spans = text_with_spans(root)
+    assert text == root.full_text()  # itertext semantics
+    rebuilt = "".join(text[s:e] for s, e, _ in spans)
+    assert rebuilt == text
+    prev_end = 0
+    for s, e, path in spans:
+        assert s == prev_end and e > s  # contiguous tiling, nonempty
+        assert path.startswith("/")
+        prev_end = e
+    assert prev_end == len(text)
+
+
+@settings(max_examples=120, deadline=None)
+@given(random_node())
+def test_serialize_parse_roundtrip(root):
+    # serialized XML re-parses to an identical tree (modulo nothing)
+    payload = serialize(root)
+    reparsed = parse_xml(payload)
+    assert serialize(reparsed) == payload
+    assert reparsed.full_text() == root.full_text()
+
+
+@settings(max_examples=100, deadline=None)
+@given(random_node())
+def test_unwrap_preserves_full_text(root):
+    """Unwrapping any tag never changes document-order text — the
+    core text/tail-folding invariant of remove_elements(keep_children=
+    True, preserve_text=True, preserve_tail=True)."""
+    before = root.full_text()
+    t = Transformation(
+        Rule("x", (lib.append("v", Ref("element")),)),
+        lib.remove_elements("v", keep_children=True, preserve_text=True,
+                            preserve_tail=True),
+        copy=True,
+    )
+    result = t(root)
+    assert result.full_text() == before
+
+
+@settings(max_examples=100, deadline=None)
+@given(random_node())
+def test_drop_removes_all_matching_subtree_text(root):
+    """After dropping tag 'x' (no preserves), no x-subtree text segment
+    survives unless it also appears elsewhere; and the result contains
+    no 'x' elements at all."""
+    t = Transformation(
+        Rule("x", (lib.append("v", Ref("element")),)),
+        lib.remove_elements("v"),
+        copy=True,
+    )
+    result = t(root)
+    from inxs_spark.kernel.nodes import iter_subtree
+
+    if root.tag != "x":  # root drop clears in place, tag remains
+        assert all(n.tag != "x" for n in iter_subtree(result))
+
+
+@settings(max_examples=100, deadline=None)
+@given(random_node())
+def test_transformation_with_copy_never_mutates_input(root):
+    before = serialize(root)
+    t = Transformation(
+        Rule("a", (lib.set_attribute("seen", "1"),)),
+        Rule("b", (lib.append("v", Ref("element")),)),
+        lib.remove_elements("v"),
+    )
+    t(root)
+    assert serialize(root) == before
+
+
+@settings(max_examples=100, deadline=None)
+@given(random_node())
+def test_traversal_orders_visit_same_node_set(root):
+    from inxs_spark.kernel.traverse import (
+        TRAVERSE_BOTTOM_TO_TOP,
+        TRAVERSE_RIGHT_TO_LEFT,
+        TRAVERSE_WIDTH_FIRST,
+        DEFAULT_TRAVERSAL,
+        traversal_nodes,
+    )
+
+    base = traversal_nodes(root, DEFAULT_TRAVERSAL)
+    for order in (TRAVERSE_BOTTOM_TO_TOP, TRAVERSE_RIGHT_TO_LEFT,
+                  TRAVERSE_WIDTH_FIRST):
+        nodes = traversal_nodes(root, order)
+        assert len(nodes) == len(base)
+        assert {id(n) for n in nodes} == {id(n) for n in base}
+    # preorder parent-before-child; postorder child-before-parent
+    pos = {id(n): i for i, n in enumerate(base)}
+    for n in base:
+        for c in n.children:
+            assert pos[id(n)] < pos[id(c)]
+    post = traversal_nodes(root, TRAVERSE_BOTTOM_TO_TOP)
+    pos_post = {id(n): i for i, n in enumerate(post)}
+    for n in post:
+        for c in n.children:
+            assert pos_post[id(n)] > pos_post[id(c)]
