@@ -226,6 +226,115 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: revenue by (region, nation) with ROLLUP
+    subtotals and grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap; count
+    sessions and events per user (lag + windowed running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", gap)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("long").alias("bucket_100")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("bucket_100")
+    )
+
+
+def q_long_docs_not_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: long docs EXCEPT ALL english docs."""
+    docs = _t(spark, sf_dir, "documents")
+    long_ids = docs.filter(F.col("n_chars") > 300).select("doc_id")
+    en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
+    return long_ids.exceptAll(en_ids).orderBy("doc_id")
+
+
+def q_events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured scalar functions: extract props.k from the JSON
+    column, aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("sum_k"),
+            F.count(k).cast("long").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — not SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -271,7 +380,39 @@ def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-    return ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8)
+    # few planes + deep multiprobe: the test embeddings are near-
+    # uniform (best cosine ≈ 0.37), so aggressive bucketing would
+    # tank recall — 5 planes at hamming ≤ 2 keeps recall usable while
+    # still pruning ~half the corpus
+    return ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=5)
+
+
+def x_extract_then_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline combo: extraction → exact dedup groups over the
+    EXTRACTED text (boilerplate-stripped dedup — the reason extraction
+    precedes dedup in a training-data pipeline)."""
+    from inxs_spark.operators.dedup import exact_duplicate_groups
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    extracted = extract_df(_transcripts(spark, sf_dir)).filter(
+        F.col("failure").isNull() & (F.length("extracted_text") > 0)
+    )
+    keyed = extracted.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("turn_key"),
+        "extracted_text",
+    )
+    groups = exact_duplicate_groups(
+        keyed, id_col="turn_key", text_col="extracted_text"
+    )
+    totals = keyed.agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct("extracted_text").cast("long").alias("n_distinct_texts"),
+    )
+    dup_stats = groups.agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("n_dup_groups"),
+        F.coalesce(F.sum("n_dups"), F.lit(0)).cast("long").alias("n_turns_in_dup_groups"),
+    )
+    return totals.crossJoin(dup_stats)
 
 
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,11 +437,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_embedding_norms": q_embedding_norms,
         "q_cosine_topk": q_cosine_topk,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_supplier_revenue": q_supplier_revenue,
+        "q_top3_orders_per_segment": q_top3_orders_per_segment,
+        "q_user_sessions": q_user_sessions,
+        "q_doc_length_histogram": q_doc_length_histogram,
+        "q_long_docs_not_english": q_long_docs_not_english,
+        "q_events_json_k": q_events_json_k,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_failure_profile": x_extract_failure_profile,
         "x_minhash_dup_pairs": x_minhash_dup_pairs,
         "x_simhash_dup_pairs": x_simhash_dup_pairs,
         "x_ann_topk": x_ann_topk,
+        "x_extract_then_dedup": x_extract_then_dedup,
         "x_media_features": x_media_features,
     }
 
@@ -447,6 +596,67 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
             FROM embeddings ORDER BY vec_id
+        """,
+        "q_rollup_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+        """,
+        "q_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q_top3_orders_per_segment": """
+            SELECT c_mktsegment, rnk, o_orderkey, totalprice FROM (
+                SELECT c_mktsegment,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rnk,
+                       o_orderkey, round(o_totalprice, 2) AS totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+        """,
+        "q_user_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800 THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id,
+                   sum(new_session) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "q_doc_length_histogram": """
+            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket_100,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "q_long_docs_not_english": """
+            SELECT doc_id FROM documents WHERE n_chars > 300
+            EXCEPT ALL
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            ORDER BY doc_id
+        """,
+        "q_events_json_k": """
+            SELECT event_type,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(props->>'$.k') AS n_with_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_cosine_topk": """
             WITH q AS (

@@ -54,10 +54,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k. The plan is scan → project → TakeOrdered
     (no full sort, no shuffle of embeddings)."""
+    import math
+
     q = _lit_vec(query_vec)
+    # query norm folded driver-side — visible in .explain as a literal
+    # instead of a per-row aggregate over the literal array
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = F.col(vec_col).cast("array<double>")
     out = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos"),
+        F.round(dot(v, q) / (norm(v) * F.lit(qnorm)), 4).alias("cos"),
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
@@ -116,7 +122,19 @@ def ann_topk(
             qbucket |= 1 << h
     probes = [qbucket]
     if multiprobe:
+        # hamming-1 and hamming-2 probes: hyperplane LSH's collision
+        # probability per plane is 1 - angle/pi, so for far neighbors
+        # (angle ≳ 60°) single-bucket recall collapses — deeper
+        # multiprobe trades back recall for candidates. Recall is a
+        # function of the data's cluster structure: near-dup search
+        # (cos > 0.9) works at depth 1; uniform-ish corpora need
+        # depth 2 and few planes (see tests + PLANS.md).
         probes += [qbucket ^ (1 << h) for h in range(n_planes)]
+        probes += [
+            qbucket ^ (1 << h1) ^ (1 << h2)
+            for h1 in range(n_planes)
+            for h2 in range(h1 + 1, n_planes)
+        ]
     bucketed = hyperplane_lsh_buckets(df, len(qv), n_planes, id_col, vec_col, seed)
     cands = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cands, qv, k, id_col, vec_col)
