@@ -1,0 +1,40 @@
+"""Examples + compat namespace tests (the reference's two canonical
+example shapes, BASELINE.json:6)."""
+
+import subprocess
+import sys
+
+
+def test_compat_namespace_is_complete():
+    from inxs_spark import compat
+
+    for symbol in compat.__all__:
+        assert getattr(compat, symbol, None) is not None, symbol
+    # the inxs-style one-liner works through compat alone
+    t = compat.Transformation(
+        compat.Rule("b", (compat.lib.get_text, compat.lib.put_variable("x"))),
+        result_object="context.x",
+    )
+    assert t(compat.parse("<a><b>hit</b></a>")) == "hit"
+
+
+def test_wikipedia_example_serial():
+    proc = subprocess.run(
+        [sys.executable, "examples/wikipedia_dumps.py"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.strip().splitlines()
+    assert lines[0].startswith("Alpha:") and "first letter" in lines[0]
+    assert "[1]" not in proc.stdout  # citations stripped
+    assert "WikiProject" not in proc.stdout  # header stripped
+
+
+def test_table_example_serial():
+    proc = subprocess.run(
+        [sys.executable, "examples/table_extraction.py"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "('bolt', '7'" in proc.stdout
+    assert "('nut', '3'" in proc.stdout
