@@ -1,0 +1,85 @@
+"""Stateful streaming operator + io seam tests."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_conversation_progress_stateful(spark, tiny_transcripts, tmp_out):
+    from inxs_spark.sources.transcripts import TRANSCRIPTS_SPARK_SCHEMA
+    from inxs_spark.streaming.stateful import conversation_progress
+
+    # state-store instances scale with shuffle partitions; 32 × many
+    # microbatches = minutes of checkpoint I/O for a 2k-row test.
+    # 4 partitions keeps the same code path at test-appropriate cost.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+            .parquet(tiny_transcripts)
+            .select(
+                "conv_id", "turn_idx", F.lit(None).cast("string").alias("failure")
+            )
+        )
+        progress = conversation_progress(stream)
+        query = (
+            progress.writeStream.format("memory")
+            .queryName("conv_progress_test")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp_out, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.sql(
+        "select conv_id, max(n_turns) as n from conv_progress_test group by conv_id"
+    ).collect()
+    assert rows
+    expected = {
+        r.conv_id: r.n
+        for r in spark.read.parquet(tiny_transcripts)
+        .groupBy("conv_id").count()
+        .select("conv_id", F.col("count").alias("n")).collect()
+    }
+    got = {r.conv_id: r.n for r in rows}
+    # every conversation fully counted (single availableNow pass may
+    # split batches; the running count must end at the true total)
+    assert got == expected
+
+
+def test_io_roundtrip_and_fingerprint(spark, tmp_out):
+    from inxs_spark.sources.io import input_fingerprint, read_table, write_table
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    path = os.path.join(tmp_out, "t")
+    write_table(df, path)
+    back = read_table(spark, path)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "v"}
+    fp1 = input_fingerprint(path)
+    fp2 = input_fingerprint(path)
+    assert fp1 == fp2 and fp1.startswith("files-")
+    write_table(df.limit(10), os.path.join(tmp_out, "t2"))
+    assert input_fingerprint(os.path.join(tmp_out, "t2")) != fp1
+
+
+def test_functions_facade(spark):
+    from inxs_spark import functions as EF
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0], "a b c")],
+        "v1 array<double>, v2 array<double>, text string",
+    )
+    row = df.select(
+        EF.norm(F.col("v1")).alias("n"),
+        EF.cosine(F.col("v1"), F.col("v2")).alias("c"),
+        F.size(EF.tokens("text")).alias("t"),
+        F.size(EF.shingles("text", 2)).alias("s"),
+    ).collect()[0]
+    assert row.n == 5.0 and abs(row.c - 1.0) < 1e-12
+    assert row.t == 3 and row.s == 2
