@@ -162,7 +162,14 @@ def extract_df(
     spans, failure). Pure transformation — callers choose the sink."""
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # 3x cores measured ~1.7x faster than 1x at high parallelism
+        # (straggler smoothing for the Python-bound UDF stage;
+        # BASELINE.md ablations)
+        cores = spark.sparkContext.defaultParallelism
+        num_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            3 * cores,
+        )
     fn = make_extract_fn(
         transformation, metrics_dir, run_id, chunk_id, input_snapshot_id
     )
