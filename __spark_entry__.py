@@ -415,6 +415,26 @@ def x_extract_then_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(dup_stats)
 
 
+def x_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic (readability-style text-density) extraction —
+    same pipeline, different per-turn function (north_rule "DOM
+    heuristics" clause)."""
+    from inxs_spark.heuristics import density_extract_turn
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    return extract_df(
+        _transcripts(spark, sf_dir), row_fn=density_extract_turn
+    )
+
+
+def x_pdf_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout-parse plumbing (decode stubbed per container limits):
+    binary pdf → (page, block) rows → body text in reading order."""
+    from inxs_spark.operators.pdf import extract_pdf_text, parse_layout, synth_pdfs
+
+    return extract_pdf_text(parse_layout(synth_pdfs(spark, 64))).orderBy("doc_id")
+
+
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.operators.multimodal import extract_features, synth_media
 
@@ -450,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_dup_pairs": x_simhash_dup_pairs,
         "x_ann_topk": x_ann_topk,
         "x_extract_then_dedup": x_extract_then_dedup,
+        "x_extract_density": x_extract_density,
+        "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
     }
 

@@ -1,0 +1,129 @@
+"""DOM-heuristic main-content extraction (north_rule clause "DOM
+heuristics", BASELINE.json:14): readability-style text-density scoring
+that finds the main content container WITHOUT site-specific rules —
+the complement to the declarative rule-set in :mod:`.extract`.
+
+Score(node) = subtree_text_len × (1 − link_density) × depth_bonus,
+maximized over container elements. The winner is cleaned (script/
+style/nav dropped via a normal kernel Transformation) and fed through
+the same (text, spans, failure) contract, so the Spark plane is
+identical — only the per-turn function changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .extract import MAX_PAYLOAD_CHARS, text_with_spans
+from .kernel import lib
+from .kernel.conditions import Any
+from .kernel.nodes import Node, iter_subtree
+from .kernel.parse import ParseError, parse_payload
+from .kernel.transformation import Ref, Rule, Transformation
+
+CONTAINER_TAGS = frozenset(
+    "div main article section body td li blockquote doc".split()
+)
+LINK_TAGS = frozenset({"a"})
+# semantic boilerplate elements dropped before scoring — standard
+# readability practice (header/footer/aside are layout, not content)
+NOISE_TAGS = (
+    "script", "style", "nav", "noscript", "iframe", "form",
+    "header", "footer", "aside",
+)
+
+
+def _text_lengths(node: Node) -> tuple[int, int]:
+    """(total_text_len, link_text_len) for the subtree."""
+    total = 0
+    linked = 0
+    for n in iter_subtree(node):
+        # stripped lengths: indentation/newlines between elements must
+        # not count as "content" (they inflate ancestor scores)
+        own = len((n.text or "").strip()) + sum(
+            len((c.tail or "").strip()) for c in n.children
+        )
+        total += own
+        if n.tag in LINK_TAGS or _has_link_ancestor(n, node):
+            linked += own
+    return total, linked
+
+
+def _has_link_ancestor(node: Node, stop: Node) -> bool:
+    cur = node.parent
+    while cur is not None and cur is not stop.parent:
+        if cur.tag in LINK_TAGS:
+            return True
+        cur = cur.parent
+    return False
+
+
+def score(node: Node) -> float:
+    total, linked = _text_lengths(node)
+    if total == 0:
+        return 0.0
+    link_density = linked / total
+    return total * (1.0 - link_density)
+
+
+def pick_main_node(root: Node, tie_band: float = 0.75) -> Node:
+    """Highest-scoring container; among nodes within ``tie_band`` of
+    the best score, prefer the DEEPEST (an ancestor always scores at
+    least as high as the child that holds the content — the band lets
+    the tighter container win over <body>)."""
+    candidates = [
+        n for n in iter_subtree(root)
+        if n.tag in CONTAINER_TAGS or n is root
+    ]
+    if not candidates:
+        return root
+    scored = [(score(n), n) for n in candidates]
+    best_score = max(s for s, _ in scored)
+    if best_score <= 0:
+        return root
+
+    def depth(n: Node) -> int:
+        d = 0
+        while n.parent is not None:
+            d += 1
+            n = n.parent
+        return d
+
+    near_best = [(depth(n), s, i, n) for i, (s, n) in enumerate(scored)
+                 if s >= tie_band * best_score]
+    near_best.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    return near_best[0][3]
+
+
+_CLEANUP = Transformation(
+    Rule(Any(*NOISE_TAGS), (lib.append("trash", Ref("element")),)),
+    lib.remove_elements("trash"),
+    name="density-cleanup-v1",
+    copy=False,
+)
+
+
+def density_extract_turn(
+    payload: Optional[str],
+) -> tuple[Optional[str], list[tuple[int, int, str]], Optional[str]]:
+    """Per-turn heuristic extraction — same contract as
+    :func:`inxs_spark.extract.extract_turn`, pluggable into the same
+    mapInArrow pipeline via ``extract_df(..., extract_fn=...)``."""
+    if payload is None or payload.strip() == "":
+        return "", [], None
+    if len(payload) > MAX_PAYLOAD_CHARS:
+        return None, [], "payload_too_large"
+    try:
+        root, kind = parse_payload(payload)
+        if root is None:
+            return payload, [(0, len(payload), "/")], None
+        cleaned = _CLEANUP(root)
+        main = pick_main_node(cleaned)
+        text, spans = text_with_spans(main)
+        return text, spans, None
+    except ParseError:
+        return None, [], "parse_error"
+    except RecursionError:
+        return None, [], "payload_too_deep"
+    except Exception:
+        return None, [], "transform_error"

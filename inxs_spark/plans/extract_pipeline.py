@@ -73,11 +73,24 @@ def make_extract_fn(
     run_id: str = "",
     chunk_id: int = -1,
     input_snapshot_id: str = "",
+    row_fn=None,
 ):
     """Build the mapInArrow function. The transformation object is
     captured in the closure — Spark cloudpickles it ONCE per job and
-    reuses it for every batch on a worker (no per-batch deserialize)."""
-    rule_set_hash = transformation.fingerprint()
+    reuses it for every batch on a worker (no per-batch deserialize).
+
+    ``row_fn`` overrides the per-payload extractor (payload → (text,
+    spans, failure)) — e.g. the DOM-heuristic density extractor; the
+    default runs the declarative ``transformation``."""
+    import hashlib as _hashlib
+
+    if row_fn is None:
+        rule_set_hash = transformation.fingerprint()
+    else:
+        rule_set_hash = _hashlib.sha256(
+            f"row_fn:{getattr(row_fn, '__module__', '')}."
+            f"{getattr(row_fn, '__qualname__', repr(row_fn))}".encode()
+        ).hexdigest()
 
     def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         start = time.monotonic()
@@ -92,7 +105,10 @@ def make_extract_fn(
             spans_col: list[list[tuple]] = []
             fails: list[Optional[str]] = []
             for payload in texts:
-                text, spans, failure = extract_turn(payload, transformation)
+                if row_fn is not None:
+                    text, spans, failure = row_fn(payload)
+                else:
+                    text, spans, failure = extract_turn(payload, transformation)
                 extracted.append(text)
                 spans_col.append(spans)
                 fails.append(failure)
@@ -157,6 +173,7 @@ def extract_df(
     run_id: str = "",
     chunk_id: int = -1,
     input_snapshot_id: str = "",
+    row_fn=None,
 ) -> DataFrame:
     """transcripts → extracted(conv_id, turn_idx, extracted_text,
     spans, failure). Pure transformation — callers choose the sink."""
@@ -171,7 +188,8 @@ def extract_df(
             3 * cores,
         )
     fn = make_extract_fn(
-        transformation, metrics_dir, run_id, chunk_id, input_snapshot_id
+        transformation, metrics_dir, run_id, chunk_id, input_snapshot_id,
+        row_fn=row_fn,
     )
     pruned = df.select("conv_id", "turn_idx", "text")
     salted = pruned.withColumn(

@@ -1,0 +1,100 @@
+"""DOM-heuristic density extraction + PDF layout plumbing tests."""
+
+import pytest
+
+from inxs_spark.heuristics import density_extract_turn, pick_main_node, score
+from inxs_spark.kernel.parse import parse_html
+
+LINK_FARM_PAGE = """
+<html><body>
+  <div id="menu">
+    <a href="/a">alpha link</a> <a href="/b">beta link</a>
+    <a href="/c">gamma link</a> <a href="/d">delta link</a>
+    <a href="/e">epsilon link</a> <a href="/f">zeta link</a>
+  </div>
+  <div id="content">
+    This is the long-form body of the page. It talks at length about the
+    subject matter with almost no links, which is the unmistakable
+    signature of main content in text-density terms.
+    <a href="/ref">one link</a>
+    More body text continues after the single reference link here.
+  </div>
+  <div id="footer">
+    <a href="/about">about</a> <a href="/legal">legal</a>
+  </div>
+</body></html>
+"""
+
+
+class TestDensityExtraction:
+    def test_picks_content_div_without_rules(self):
+        root = parse_html(LINK_FARM_PAGE)
+        main = pick_main_node(root)
+        assert main.attrib.get("id") == "content"
+
+    def test_score_penalizes_link_density(self):
+        root = parse_html(LINK_FARM_PAGE)
+        divs = {n.attrib.get("id"): n for n in root.children[0].children
+                if n.tag == "div"}
+        assert score(divs["content"]) > score(divs["menu"])
+        assert score(divs["content"]) > score(divs["footer"])
+
+    def test_density_extract_turn_contract(self):
+        text, spans, failure = density_extract_turn(LINK_FARM_PAGE)
+        assert failure is None
+        assert "long-form body" in text
+        assert "alpha link" not in text  # menu excluded
+        assert "legal" not in text       # footer excluded
+        for s, e, _ in spans:
+            assert text[s:e]
+
+    def test_edge_inputs(self):
+        assert density_extract_turn(None) == ("", [], None)
+        assert density_extract_turn("plain words")[0] == "plain words"
+        assert density_extract_turn("<doc><para>oops")[2] == "parse_error"
+        deep = "<a>" * 3000 + "x" + "</a>" * 3000
+        assert density_extract_turn(deep)[2] == "payload_too_deep"
+
+    def test_rides_the_same_pipeline(self, spark, tiny_transcripts):
+        from inxs_spark.plans.extract_pipeline import extract_df
+
+        out = extract_df(
+            spark.read.parquet(tiny_transcripts).limit(300),
+            row_fn=density_extract_turn,
+        )
+        rows = out.collect()
+        assert len(rows) == 300
+        ok = [r for r in rows if r.failure is None]
+        assert len(ok) > 250  # malformed tail only
+
+
+class TestPdfLayout:
+    def test_parse_layout_schema_and_determinism(self, spark):
+        from inxs_spark.operators.pdf import parse_layout, synth_pdfs
+
+        pdfs = synth_pdfs(spark, 16)
+        a = parse_layout(pdfs).orderBy("doc_id", "page", "block_idx").collect()
+        b = parse_layout(pdfs).orderBy("doc_id", "page", "block_idx").collect()
+        assert a == b and a
+        for r in a:
+            assert r.kind in ("header", "body", "footer", "figure")
+            assert r.x1 > r.x0 and r.y1 > r.y0
+
+    def test_extract_pdf_text_reading_order(self, spark):
+        from inxs_spark.operators.pdf import extract_pdf_text, parse_layout, synth_pdfs
+
+        blocks = parse_layout(synth_pdfs(spark, 8))
+        docs = extract_pdf_text(blocks).collect()
+        assert docs
+        for d in docs:
+            assert "header" not in d.extracted_text
+            orders = [s.block_order for s in d.spans]
+            assert orders == sorted(orders)
+            pages = [s.page for s in d.spans]
+            assert pages == sorted(pages)  # reading order across pages
+
+    def test_real_parser_raises(self, spark):
+        from inxs_spark.operators.pdf import parse_layout, synth_pdfs
+
+        with pytest.raises(NotImplementedError):
+            parse_layout(synth_pdfs(spark, 2), parser="pdfium")
