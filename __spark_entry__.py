@@ -320,6 +320,24 @@ def q_long_docs_not_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long_ids.exceptAll(en_ids).orderBy("doc_id")
 
 
+def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive aggregation (the conversation-reconstruction
+    shape on an oracle-checkable table): each user's event-type
+    sequence in (ts, event_id) order."""
+    ev = _t(spark, sf_dir, "events")
+    packed = F.struct("ts", "event_id", F.col("event_type").alias("et"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(packed)).alias("seq"))
+        .select(
+            "user_id",
+            F.expr("array_join(transform(seq, s -> s.et), '>')").alias("sequence"),
+            F.size("seq").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured scalar functions: extract props.k from the JSON
     column, aggregate per event_type."""
@@ -415,6 +433,27 @@ def x_extract_then_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(dup_stats)
 
 
+def x_conversation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction → per-conversation training documents (turns
+    reconstructed in order) + conversation-level dup groups count."""
+    from inxs_spark.operators.conversations import (
+        conversation_documents,
+        conversation_dup_groups,
+    )
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    extracted = extract_df(_transcripts(spark, sf_dir))
+    docs = conversation_documents(extracted)
+    dups = conversation_dup_groups(extracted)
+    return docs.select(
+        "conv_id", "n_turns", F.length("conv_text").alias("n_chars")
+    ).crossJoin(
+        F.broadcast(
+            dups.agg(F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("n_dup_conv_groups"))
+        )
+    ).orderBy("conv_id")
+
+
 def x_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic (readability-style text-density) extraction —
     same pipeline, different per-turn function (north_rule "DOM
@@ -464,12 +503,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_length_histogram": q_doc_length_histogram,
         "q_long_docs_not_english": q_long_docs_not_english,
         "q_events_json_k": q_events_json_k,
+        "q_user_event_sequence": q_user_event_sequence,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_failure_profile": x_extract_failure_profile,
         "x_minhash_dup_pairs": x_minhash_dup_pairs,
         "x_simhash_dup_pairs": x_simhash_dup_pairs,
         "x_ann_topk": x_ann_topk,
         "x_extract_then_dedup": x_extract_then_dedup,
+        "x_conversation_documents": x_conversation_documents,
         "x_extract_density": x_extract_density,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
@@ -673,6 +714,12 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT ALL
             SELECT doc_id FROM documents WHERE lang = 'en'
             ORDER BY doc_id
+        """,
+        "q_user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "q_events_json_k": """
             SELECT event_type,

@@ -1,0 +1,68 @@
+"""Conversation-level operator tests."""
+
+from pyspark.sql import functions as F
+
+
+def _extracted(spark):
+    rows = [
+        ("c1", 1, "world", None),
+        ("c1", 0, "hello", None),   # out of order on purpose
+        ("c1", 2, None, "parse_error"),
+        ("c2", 0, "hello", None),
+        ("c2", 1, "world", None),
+        ("c3", 0, "hello", None),
+        ("c3", 1, "world", None),
+        ("c3", 2, "", None),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string, failure string"
+    )
+
+
+def test_conversation_documents_order_and_nulls(spark):
+    from inxs_spark.operators.conversations import conversation_documents
+
+    docs = {r.conv_id: r for r in conversation_documents(_extracted(spark)).collect()}
+    assert docs["c1"].conv_text == "hello\nworld\n"  # sorted by turn_idx; null → ''
+    assert docs["c1"].n_turns == 3
+    assert docs["c2"].conv_text == "hello\nworld"
+
+
+def test_conversation_documents_with_roles(spark):
+    from inxs_spark.operators.conversations import conversation_documents
+
+    df = spark.createDataFrame(
+        [("c1", 0, "hi", None, "user"), ("c1", 1, "yo", None, "assistant")],
+        "conv_id string, turn_idx int, extracted_text string, failure string, role string",
+    )
+    doc = conversation_documents(df, role_col="role").collect()[0]
+    assert doc.conv_text == "user: hi\nassistant: yo"
+
+
+def test_conversation_stats_and_dups(spark):
+    from inxs_spark.operators.conversations import (
+        conversation_dup_groups,
+        conversation_stats,
+    )
+
+    stats = {r.conv_id: r for r in conversation_stats(_extracted(spark)).collect()}
+    assert stats["c1"].n_failures == 1 and stats["c1"].max_turn_idx == 2
+    assert stats["c2"].total_chars == 10
+    dups = conversation_dup_groups(_extracted(spark)).collect()
+    # c2 == "hello\nworld"; c1 == "hello\nworld\n" (trailing failed
+    # turn) and c3 == "hello\nworld\n" (trailing empty turn) → c1≡c3
+    assert len(dups) == 1
+    assert dups[0].n_dups == 2 and dups[0].keep_conv_id == "c1"
+
+
+def test_conversation_docs_e2e(spark, tiny_transcripts):
+    from inxs_spark.operators.conversations import conversation_documents
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    extracted = extract_df(spark.read.parquet(tiny_transcripts))
+    docs = conversation_documents(extracted)
+    n_convs = spark.read.parquet(tiny_transcripts).select("conv_id").distinct().count()
+    rows = docs.collect()
+    assert len(rows) == n_convs
+    total_turns = sum(r.n_turns for r in rows)
+    assert total_turns == spark.read.parquet(tiny_transcripts).count()
