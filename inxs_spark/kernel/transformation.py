@@ -267,6 +267,25 @@ class _Execution:
         nodes = traversal_nodes(self.root, order)
         active = set(range(len(rules)))
         common = self.transformation.common_rule_conditions
+        tag_map, generic = self._dispatch_for(rules)
+        # tag-bucket dispatch (SURVEY.md §5.2): only rules whose leading
+        # condition can match this tag are evaluated; rule order is
+        # restored by the index sort. Merged lists memoized per tag.
+        merged: dict[str, list[int]] = {}
+
+        def indices_for(node: Node) -> list[int]:
+            tag = node.tag
+            got = merged.get(tag)
+            if got is None:
+                cand = set(generic)
+                cand.update(tag_map.get(tag, ()))
+                local = node.localname
+                if local != tag:
+                    cand.update(tag_map.get(local, ()))
+                got = sorted(cand)
+                merged[tag] = got
+            return got
+
         try:
             for node in nodes:
                 if not is_attached(node, self.root):
@@ -274,9 +293,10 @@ class _Execution:
                 self.element = node  # visible to DI conditions too
                 if common and not all(c(node, self.state) for c in common):
                     continue
-                for ridx, rule in enumerate(rules):
+                for ridx in indices_for(node):
                     if ridx not in active:
                         continue
+                    rule = rules[ridx]
                     try:
                         if not all(c(node, self.state) for c in rule.conditions):
                             continue
@@ -292,6 +312,33 @@ class _Execution:
                         # members cannot match a detached element
         finally:
             self.element = None
+
+    def _dispatch_for(self, rules: list) -> tuple[dict, set]:
+        """(tag → [rule indices], generic indices). Rules whose FIRST
+        condition is a plain tag test (MatchesTag / Any-of-tags) are
+        bucketed by tag; everything else is generic. Cached per rules
+        list on the transformation (immutable)."""
+        from .conditions import Any as AnyCond, MatchesTag
+
+        cache = self.transformation._param_plans  # reuse the id-keyed cache
+        key = ("dispatch", id(rules[0]) if rules else 0, len(rules))
+        hit = cache.get(key)  # type: ignore[arg-type]
+        if hit is not None:
+            return hit
+        tag_map: dict[str, list[int]] = {}
+        generic: set[int] = set()
+        for idx, rule in enumerate(rules):
+            first = rule.conditions[0] if rule.conditions else None
+            if isinstance(first, MatchesTag):
+                tag_map.setdefault(first.tag, []).append(idx)
+            elif isinstance(first, AnyCond) and first._tag_set is not None:
+                for tag in first._tag_set:
+                    tag_map.setdefault(tag, []).append(idx)
+            else:
+                generic.add(idx)
+        result = (tag_map, generic)
+        cache[key] = result  # type: ignore[index]
+        return result
 
     def _run_chain(self, rule: Rule, node: Node) -> None:
         self.element = node
