@@ -40,11 +40,20 @@ class TestParsers:
         assert [c.text for c in root.children] == ["one", "two", "three"]
 
     def test_html_p_closed_by_block(self):
-        root = parse_html("<div><p>para<div>inner</div></p></div>")
-        # <div> closes the open <p>
+        # tag soup (unclosed <p>) takes the HTML5-ish builder: the
+        # block element implies closing the open <p>
+        root = parse_html("<div><p>para<div>inner</div></div>")
         p, inner = root.children
         assert p.tag == "p" and p.text == "para"
         assert inner.tag == "div" and inner.text == "inner"
+
+    def test_wellformed_html_parses_as_written(self):
+        # the parse contract: WELL-FORMED markup keeps its structure
+        # verbatim (C-accelerated fast path); only soup gets HTML5
+        # implied-end-tag repair
+        root = parse_html("<div><p>para<div>inner</div></p></div>")
+        (p,) = root.children
+        assert p.tag == "p" and p.children[0].tag == "div"
 
     def test_html_void_elements(self):
         root = parse_html("<p>a<br>b<img src='x'>c</p>")
