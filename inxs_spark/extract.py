@@ -119,6 +119,16 @@ def text_with_spans(root: Node) -> tuple[str, list[tuple[int, int, str]]]:
         children = node.children
         if not children:
             return
+        if len(children) == 1:
+            child = children[0]
+            cpath = f"{path}/{child.localname}"
+            visit(child, cpath)
+            if child.tail:
+                start = offset
+                offset += len(child.tail)
+                parts.append(child.tail)
+                spans.append((start, offset, cpath))
+            return
         counts: dict[str, int] = {}
         for child in children:
             counts[child.tag] = counts.get(child.tag, 0) + 1

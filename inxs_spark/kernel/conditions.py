@@ -126,6 +126,11 @@ class MatchesAttributes(Condition):
         return False
 
     def __call__(self, element: Node, state: DocumentState) -> bool:
+        if not element.attrib:
+            # non-empty constraints can never match an attribute-less
+            # element (string keys need the attribute present; regex
+            # keys need some attribute name to hit) — hot fast exit
+            return not self.constraints
         for key, expected in self.constraints.items():
             if isinstance(key, str):
                 if not self._match_one(expected, element.attrib.get(key)):

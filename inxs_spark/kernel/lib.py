@@ -27,6 +27,7 @@ import logging
 import re as _re
 from typing import Callable, Optional
 
+from . import nodes as nodes_module
 from .errors import AbortRule, AbortTransformation, SkipToNextElement  # re-export
 from .nodes import Node
 
@@ -84,6 +85,7 @@ def _remove_one(
         element.children.clear()
         if not preserve_text:
             element.text = None
+        nodes_module.mark_detached()
         return
     try:
         idx = parent.index(element)
@@ -91,6 +93,7 @@ def _remove_one(
         return  # already detached (an ancestor was dropped first)
     parent.children.pop(idx)
     element.parent = None
+    nodes_module.mark_detached()
     if keep_children:
         # unwrap: text folds before, children splice in, tail folds
         # after the last spliced child

@@ -19,6 +19,20 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
+#: Global structural-mutation version, bumped whenever an element is
+#: DETACHED from a tree (Node.remove, lib._remove_one). The executor
+#: snapshots it at walk start: while unchanged, every materialized node
+#: is still attached and the per-node reachability walk can be skipped
+#: entirely (the common case — classification walks never detach).
+#: False positives (bumps from other documents in the same process)
+#: only cost extra checks, never correctness.
+STRUCTURE_VERSION = 0
+
+
+def mark_detached() -> None:
+    global STRUCTURE_VERSION
+    STRUCTURE_VERSION += 1
+
 
 class Node:
     """A mutable DOM element: tag, attributes, text, tail, children."""
@@ -52,6 +66,7 @@ class Node:
     def remove(self, child: "Node") -> None:
         self.children.remove(child)
         child.parent = None
+        mark_detached()
 
     def index(self, child: "Node") -> int:
         return self.children.index(child)

@@ -35,11 +35,31 @@ class ParseError(Exception):
 # XML
 # ---------------------------------------------------------------------------
 
-def _from_etree(el: ET.Element) -> Node:
-    node = Node(el.tag, dict(el.attrib), el.text, el.tail)
-    for child in el:
-        node.append(_from_etree(child))
-    return node
+def _from_etree(el: ET.Element, lower: bool = False) -> Node:
+    # iterative (deep documents must not recurse; also avoids a Python
+    # frame per element — hot path)
+    def mk(src: ET.Element) -> Node:
+        tag = src.tag
+        attrib = src.attrib
+        if lower:
+            tag = tag.lower()
+            attrib = {k.lower(): v for k, v in attrib.items()} if attrib else {}
+        else:
+            attrib = dict(attrib) if attrib else {}
+        return Node(tag, attrib, src.text, src.tail)
+
+    root = mk(el)
+    stack: list[tuple[ET.Element, Node]] = [(el, root)]
+    while stack:
+        src, dst = stack.pop()
+        children = dst.children
+        for child in src:
+            c = mk(child)
+            c.parent = dst
+            children.append(c)
+            if len(child):
+                stack.append((child, c))
+    return root
 
 
 def parse_xml(payload: str) -> Node:
@@ -168,7 +188,7 @@ def parse_html(payload: str) -> Node:
     # to match HTMLParser semantics; any soup (void elements, implied
     # end tags, unquoted attrs, bare entities) raises and falls back.
     try:
-        return _lowercase_tags(_from_etree(ET.fromstring(payload)))
+        return _from_etree(ET.fromstring(payload), lower=True)
     except ET.ParseError:
         pass
     builder = _TreeBuilder()

@@ -36,12 +36,44 @@ import inspect
 from types import SimpleNamespace
 from typing import Callable, Optional, Sequence, Union
 
+from . import nodes as _nodes
 from .conditions import Condition, DocumentState, normalize_condition
 from .errors import AbortRule, AbortTransformation, SkipToNextElement
 from .nodes import Node
 from .traverse import DEFAULT_TRAVERSAL, is_attached, traversal_nodes
 
 _EMPTY = inspect.Parameter.empty
+
+
+def _g_element(s: "_Execution"):
+    e = s.element
+    if e is None:
+        raise KeyError("element")
+    return e
+
+
+def _g_root(s: "_Execution"):
+    r = s.root
+    if r is None:
+        raise KeyError("root")
+    return r
+
+
+#: direct getters for the core DI symbols — replaces the _lookup
+#: if-chain in the hot kwargs-building loop (profiled; core symbols
+#: cover ~95% of handler parameters). Names absent here fall back to
+#: the full _lookup (context attributes, base-context keys).
+_CORE_GETTERS: dict = {
+    "_symbols": lambda s: s._resolve,
+    "element": _g_element,
+    "previous_result": lambda s: s.previous_result,
+    "context": lambda s: s.context,
+    "config": lambda s: s.config,
+    "root": _g_root,
+    "tree": _g_root,
+    "transformation": lambda s: s.transformation,
+    "nsmap": lambda s: s.transformation.nsmap,
+}
 
 
 class Ref:
@@ -81,6 +113,7 @@ class Rule:
         self.handlers: tuple[Callable, ...] = tuple(handlers)
         self.name = name
         self.traversal_order = traversal_order
+        self._compiled = None  # invoker chain, built on first execution
 
     def describe(self) -> str:
         conds = ";".join(c.describe() for c in self.conditions)
@@ -89,6 +122,26 @@ class Rule:
 
 
 Step = Union[Rule, Callable, Sequence[Rule]]
+
+
+def _dispatch(rules: list) -> tuple[dict, set]:
+    """(tag → [rule indices], generic indices). Rules whose FIRST
+    condition is a plain tag test (MatchesTag / Any-of-tags) are
+    bucketed by tag; everything else is generic (SURVEY.md §5.2)."""
+    from .conditions import Any as AnyCond, MatchesTag
+
+    tag_map: dict[str, list[int]] = {}
+    generic: set[int] = set()
+    for idx, rule in enumerate(rules):
+        first = rule.conditions[0] if rule.conditions else None
+        if isinstance(first, MatchesTag):
+            tag_map.setdefault(first.tag, []).append(idx)
+        elif isinstance(first, AnyCond) and first._tag_set is not None:
+            for tag in first._tag_set:
+                tag_map.setdefault(tag, []).append(idx)
+        else:
+            generic.add(idx)
+    return tag_map, generic
 
 
 class Transformation:
@@ -127,10 +180,28 @@ class Transformation:
         if config:
             raise TypeError(f"unknown Transformation config: {sorted(config)}")
         # param-plan cache shared by ALL executions of this (immutable)
-        # transformation: id(fn) → [(name, has_default)]. Keeps
+        # transformation: id(fn) → [(name, has_default, getter)]. Keeps
         # inspect.signature out of the per-document hot path — worth
         # ~16% of kernel time (profiled).
-        self._param_plans: dict[int, list[tuple[str, bool]]] = {}
+        self._param_plans: dict = {}
+        # compiled per-callable invokers (positional fast path), id-keyed
+        self._callers: dict = {}
+        # per-step dispatch precomputed once: rule steps → (rules,
+        # tag_map, generic, merged-plan dict persisted across documents)
+        self._step_plans: list = []
+        for step in self.steps:
+            if isinstance(step, Rule):
+                self._step_plans.append(([step], *_dispatch([step]), {}))
+            elif isinstance(step, list):
+                self._step_plans.append((step, *_dispatch(step), {}))
+            else:
+                self._step_plans.append(None)
+        self._config_kwargs: dict = dict(
+            name=self.name,
+            copy=self.copy,
+            result_object=self.result_object,
+            **self.base_context,
+        )
 
     # -- lineage -----------------------------------------------------
 
@@ -172,12 +243,7 @@ class _Execution:
         ctx = dict(transformation.base_context)
         ctx.update(kwargs)
         self.context = SimpleNamespace(**ctx)
-        self.config = SimpleNamespace(
-            name=transformation.name,
-            copy=transformation.copy,
-            result_object=transformation.result_object,
-            **{k: v for k, v in transformation.base_context.items()},
-        )
+        self.config = SimpleNamespace(**transformation._config_kwargs)
         self.element: Optional[Node] = None
         self.previous_result = None
         self._param_plans = transformation._param_plans
@@ -228,12 +294,16 @@ class _Execution:
                     inspect.Parameter.VAR_KEYWORD,
                 ):
                     continue
-                plan.append((pname, param.default is not _EMPTY))
+                plan.append(
+                    (pname, param.default is not _EMPTY, _CORE_GETTERS.get(pname))
+                )
             self._param_plans[id(target)] = plan
         kwargs = {}
-        for pname, has_default in plan:
+        for pname, has_default, getter in plan:
             try:
-                kwargs[pname] = self._lookup(pname)
+                kwargs[pname] = (
+                    getter(self) if getter is not None else self._lookup(pname)
+                )
             except KeyError:
                 if not has_default:
                     raise KeyError(
@@ -246,105 +316,154 @@ class _Execution:
 
     def run(self):
         try:
-            for step in self.transformation.steps:
-                if isinstance(step, Rule):
-                    self._apply_rules([step], step.traversal_order)
-                elif isinstance(step, list):
-                    order = next(
-                        (r.traversal_order for r in step if r.traversal_order), None
-                    )
-                    self._apply_rules(step, order)
+            for step, splan in zip(
+                self.transformation.steps, self.transformation._step_plans
+            ):
+                if splan is not None:
+                    if isinstance(step, Rule):
+                        order = step.traversal_order
+                    else:
+                        order = next(
+                            (r.traversal_order for r in step if r.traversal_order),
+                            None,
+                        )
+                    self._apply_rules(splan, order)
                 else:
-                    self.previous_result = step(**self._resolve(step))
+                    self.previous_result = self._call(step)
         except AbortTransformation:
             pass
         return self._result()
 
-    def _apply_rules(self, rules: list, traversal_order: Optional[int]) -> None:
+    # -- compiled invokers ---------------------------------------------
+
+    def _caller_for(self, fn: Callable):
+        """Compiled, cached invoker for ``fn``: callables whose
+        parameters all lack defaults get a positional fast path (no
+        kwargs dict); anything else falls back to the kwargs build of
+        :meth:`_resolve`."""
+        caller = self.transformation._callers.get(id(fn))
+        if caller is None:
+            plan = self._param_plans.get(id(fn))
+            if plan is None:
+                plan = []
+                for pname, param in inspect.signature(fn).parameters.items():
+                    if param.kind in (
+                        inspect.Parameter.VAR_POSITIONAL,
+                        inspect.Parameter.VAR_KEYWORD,
+                    ):
+                        continue
+                    plan.append(
+                        (pname, param.default is not _EMPTY, _CORE_GETTERS.get(pname))
+                    )
+                self._param_plans[id(fn)] = plan
+            if any(has_default for _, has_default, _ in plan):
+                def caller(ex, _fn=fn):
+                    return _fn(**ex._resolve(_fn))
+            else:
+                getters = tuple(
+                    getter
+                    if getter is not None
+                    else (lambda ex, _n=pname: ex._lookup(_n))
+                    for pname, _, getter in plan
+                )
+                def caller(ex, _fn=fn, _gs=getters):
+                    return _fn(*[g(ex) for g in _gs])
+            self.transformation._callers[id(fn)] = caller
+        return caller
+
+    def _call(self, fn: Callable):
+        return self._caller_for(fn)(self)
+
+    def _apply_rules(self, splan: tuple, traversal_order: Optional[int]) -> None:
         if self.root is None:
             return
         order = traversal_order or self.transformation.traversal_order
         nodes = traversal_nodes(self.root, order)
-        active = set(range(len(rules)))
-        common = self.transformation.common_rule_conditions
-        tag_map, generic = self._dispatch_for(rules)
         # tag-bucket dispatch (SURVEY.md §5.2): only rules whose leading
         # condition can match this tag are evaluated; rule order is
-        # restored by the index sort. Merged lists memoized per tag.
-        merged: dict[str, list[int]] = {}
+        # restored by the index sort. For bucketed rules the leading tag
+        # condition is ALREADY satisfied by the bucket hit, so the plan
+        # stores only the remaining conditions. Plans persist across
+        # documents on the (immutable) transformation.
+        rules, tag_map, generic, merged = splan
+        active = set(range(len(rules)))
+        common = self.transformation.common_rule_conditions
 
-        def indices_for(node: Node) -> list[int]:
-            tag = node.tag
-            got = merged.get(tag)
-            if got is None:
-                cand = set(generic)
-                cand.update(tag_map.get(tag, ()))
-                local = node.localname
-                if local != tag:
-                    cand.update(tag_map.get(local, ()))
-                got = sorted(cand)
-                merged[tag] = got
+        def plan_for(tag: str, local: str) -> list:
+            cand: dict[int, tuple] = {
+                ridx: tuple(rules[ridx].conditions) for ridx in generic
+            }
+            for ridx in tag_map.get(tag, ()):
+                cand[ridx] = tuple(rules[ridx].conditions[1:])
+            if local != tag:
+                for ridx in tag_map.get(local, ()):
+                    cand[ridx] = tuple(rules[ridx].conditions[1:])
+            got = sorted(cand.items())
+            merged[tag] = got
             return got
 
+        # reachability: while no detach happened since walk start
+        # (STRUCTURE_VERSION unchanged) every materialized node is still
+        # attached — skip the ancestor walk entirely (the common case).
+        start_ver = _nodes.STRUCTURE_VERSION
+        dirty = False
+        state = self.state
+        root = self.root
         try:
             for node in nodes:
-                if not is_attached(node, self.root):
-                    continue  # dropped by an earlier handler this walk
+                if dirty or _nodes.STRUCTURE_VERSION != start_ver:
+                    dirty = True
+                    if not is_attached(node, root):
+                        continue  # dropped by an earlier handler this walk
                 self.element = node  # visible to DI conditions too
-                if common and not all(c(node, self.state) for c in common):
-                    continue
-                for ridx in indices_for(node):
+                if common:
+                    ok = True
+                    for c in common:
+                        if not c(node, state):
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                tag = node.tag
+                plan = merged.get(tag)
+                if plan is None:
+                    plan = plan_for(tag, node.localname)
+                for ridx, conds in plan:
                     if ridx not in active:
                         continue
-                    rule = rules[ridx]
                     try:
-                        if not all(c(node, self.state) for c in rule.conditions):
+                        matched = True
+                        for c in conds:
+                            if not c(node, state):
+                                matched = False
+                                break
+                        if not matched:
                             continue
-                        self._run_chain(rule, node)
+                        self._run_chain(rules[ridx], node)
                     except SkipToNextElement:
                         continue
                     except AbortRule:
                         active.discard(ridx)
                         if not active:
                             return
-                    if not is_attached(node, self.root):
-                        break  # this rule dropped the node; later group
-                        # members cannot match a detached element
+                    if _nodes.STRUCTURE_VERSION != start_ver:
+                        dirty = True
+                        if not is_attached(node, root):
+                            break  # this rule dropped the node; later group
+                            # members cannot match a detached element
         finally:
             self.element = None
-
-    def _dispatch_for(self, rules: list) -> tuple[dict, set]:
-        """(tag → [rule indices], generic indices). Rules whose FIRST
-        condition is a plain tag test (MatchesTag / Any-of-tags) are
-        bucketed by tag; everything else is generic. Cached per rules
-        list on the transformation (immutable)."""
-        from .conditions import Any as AnyCond, MatchesTag
-
-        cache = self.transformation._param_plans  # reuse the id-keyed cache
-        key = ("dispatch", id(rules[0]) if rules else 0, len(rules))
-        hit = cache.get(key)  # type: ignore[arg-type]
-        if hit is not None:
-            return hit
-        tag_map: dict[str, list[int]] = {}
-        generic: set[int] = set()
-        for idx, rule in enumerate(rules):
-            first = rule.conditions[0] if rule.conditions else None
-            if isinstance(first, MatchesTag):
-                tag_map.setdefault(first.tag, []).append(idx)
-            elif isinstance(first, AnyCond) and first._tag_set is not None:
-                for tag in first._tag_set:
-                    tag_map.setdefault(tag, []).append(idx)
-            else:
-                generic.add(idx)
-        result = (tag_map, generic)
-        cache[key] = result  # type: ignore[index]
-        return result
 
     def _run_chain(self, rule: Rule, node: Node) -> None:
         self.element = node
         self.previous_result = None
-        for handler in rule.handlers:
-            self.previous_result = handler(**self._resolve(handler))
+        compiled = rule._compiled
+        if compiled is None:
+            compiled = rule._compiled = tuple(
+                self._caller_for(h) for h in rule.handlers
+            )
+        for caller in compiled:
+            self.previous_result = caller(self)
 
     def _result(self):
         path = self.transformation.result_object
