@@ -353,6 +353,111 @@ def q_events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution shape): for each purchase event, the
+    most recent click by the same user at or before its timestamp.
+    Spark-side: operators/relational.asof_join — ONE union + window
+    pass, no pair materialization. Oracle: DuckDB ASOF LEFT JOIN."""
+    from inxs_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts",
+        right_select={"event_id": "click_event_id", "ts": "click_ts"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id").cast("long").alias("click_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("gap_s"),
+    ).orderBy("event_id")
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders against a small broadcast band table on
+    lo <= o_totalprice < hi (BroadcastNestedLoopJoin — correct for a
+    tiny range side; at scale both-large range joins need bucketing)."""
+    from inxs_spark.operators.relational import range_band_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = [(i, i * 50_000.0, (i + 1) * 50_000.0) for i in range(10)]
+    return (
+        range_band_join(orders, "o_totalprice", bands)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def q_events_6h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 6-hour buckets per event
+    type (epoch-floored BIGINT bucket start — timezone-proof)."""
+    from inxs_spark.operators.relational import time_bucket
+
+    ev = time_bucket(_t(spark, sf_dir, "events"), "ts", 21_600)
+    return (
+        ev.groupBy("bucket_epoch", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("bucket_epoch", "event_type")
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one segment
+    with date predicates on both fact tables (join + agg + top-k)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = "1998-01-01"
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == orders.o_orderkey)
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order value per
+    priority — Spark ``percentile`` vs DuckDB ``quantile_cont``."""
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5D, 0.9D))")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(pct[0], 2).alias("p50"),
+            F.round(pct[1], 2).alias("p90"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — not SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -504,6 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_long_docs_not_english": q_long_docs_not_english,
         "q_events_json_k": q_events_json_k,
         "q_user_event_sequence": q_user_event_sequence,
+        "q_asof_click_before_purchase": q_asof_click_before_purchase,
+        "q_price_band_join": q_price_band_join,
+        "q_events_6h_rollup": q_events_6h_rollup,
+        "q_shipping_priority": q_shipping_priority,
+        "q_order_price_percentiles": q_order_price_percentiles,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_failure_profile": x_extract_failure_profile,
         "x_minhash_dup_pairs": x_minhash_dup_pairs,
@@ -726,6 +836,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                    count(props->>'$.k') AS n_with_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_asof_click_before_purchase": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   CAST(c.event_id AS BIGINT) AS click_event_id,
+                   CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_s
+            FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
+        """,
+        "q_price_band_join": """
+            WITH bands(band_id, band_lo, band_hi) AS (
+                SELECT CAST(i AS BIGINT), i * 50000.0, (i + 1) * 50000.0
+                FROM range(10) t(i)
+            )
+            SELECT band_id, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN bands
+                 ON o_totalprice >= band_lo AND o_totalprice < band_hi
+            GROUP BY band_id ORDER BY band_id
+        """,
+        "q_events_6h_rollup": """
+            SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_epoch,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q_order_price_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q_cosine_topk": """
             WITH q AS (

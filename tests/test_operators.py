@@ -225,3 +225,93 @@ class TestPlanShape:
         plan = entry.q_regional_revenue(spark, "/root/testdata/sf0.001") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestRelational:
+    """as-of join / range band join / time bucket (operators/relational)."""
+
+    def test_asof_backward_with_exact_match(self, spark):
+        from inxs_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame(
+            [("u1", 10, "L1"), ("u1", 20, "L2"), ("u2", 5, "L3")],
+            "user string, t long, lid string",
+        )
+        right = spark.createDataFrame(
+            [("u1", 10, "R10"), ("u1", 15, "R15"), ("u1", 25, "R25"),
+             ("u2", 6, "R6")],
+            "user string, t long, rid string",
+        )
+        out = {
+            r.lid: r.matched
+            for r in asof_join(
+                left, right, by="user", on="t", right_select={"rid": "matched"}
+            ).collect()
+        }
+        # L1@10: exact-ts right row R10 counts; L2@20: latest ≤20 is R15
+        # (never R25); L3@5 on u2: no right row at/before 5 → NULL
+        assert out == {"L1": "R10", "L2": "R15", "L3": None}
+
+    def test_asof_strict_inequality(self, spark):
+        from inxs_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame([("u1", 10, "L1")], "user string, t long, lid string")
+        right = spark.createDataFrame(
+            [("u1", 10, "R10"), ("u1", 9, "R9")], "user string, t long, rid string"
+        )
+        out = asof_join(
+            left, right, by="user", on="t",
+            right_select={"rid": "matched"}, allow_exact_match=False,
+        ).collect()
+        assert out[0].matched == "R9"
+
+    def test_asof_never_crosses_by_groups(self, spark):
+        from inxs_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame([("u2", 100, "L")], "user string, t long, lid string")
+        right = spark.createDataFrame([("u1", 50, "R")], "user string, t long, rid string")
+        assert asof_join(
+            left, right, by="user", on="t", right_select={"rid": "m"}
+        ).collect()[0].m is None
+
+    def test_asof_plan_single_shuffle_no_join(self, spark):
+        """The union+window formulation must plan exactly one Exchange
+        (the window's hash partitioning) and NO join operator."""
+        from inxs_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame([("u1", 10, "L1")], "user string, t long, lid string")
+        right = spark.createDataFrame([("u1", 5, "R")], "user string, t long, rid string")
+        plan = asof_join(
+            left, right, by="user", on="t", right_select={"rid": "m"}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_range_band_join_assigns_bands(self, spark):
+        from inxs_spark.operators.relational import range_band_join
+
+        df = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 25.0)], "id long, v double")
+        bands = [(0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0)]
+        out = {r.id: r.band_id for r in range_band_join(df, "v", bands).collect()}
+        # half-open [lo, hi): v=10.0 belongs to band 1, not band 0
+        assert out == {1: 0, 2: 1, 3: 2}
+
+    def test_range_band_join_broadcasts(self, spark):
+        from inxs_spark.operators.relational import range_band_join
+
+        df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        plan = range_band_join(df, "v", [(0, 0.0, 10.0)])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
+    def test_time_bucket_floors_epochs(self, spark):
+        from inxs_spark.operators.relational import time_bucket
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:01",), ("2024-01-01 05:59:59",),
+             ("2024-01-01 06:00:00",)],
+            "s string",
+        ).select(F.to_timestamp("s").alias("ts"))
+        got = [r.bucket_epoch for r in time_bucket(df, "ts", 21_600).collect()]
+        base = 1704067200  # 2024-01-01T00:00:00Z
+        assert got == [base, base, base + 21_600]
