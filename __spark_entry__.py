@@ -510,6 +510,22 @@ def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=5)
 
 
+def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — train a coarse quantizer on a bounded
+    sample, assign cells JVM-side, probe the nearest cells only. The
+    embeddings table is near-uniform, so probe half the cells (recall
+    collapses below that on unclustered data — documented tradeoff;
+    clustered corpora reach the same recall at nprobe=1..2)."""
+    from inxs_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10,
+        n_cells=16, nprobe=8,
+    )
+
+
 def x_extract_then_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline combo: extraction → exact dedup groups over the
     EXTRACTED text (boilerplate-stripped dedup — the reason extraction
@@ -619,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_minhash_dup_pairs": x_minhash_dup_pairs,
         "x_simhash_dup_pairs": x_simhash_dup_pairs,
         "x_ann_topk": x_ann_topk,
+        "x_ivf_topk": x_ivf_topk,
         "x_extract_then_dedup": x_extract_then_dedup,
         "x_conversation_documents": x_conversation_documents,
         "x_extract_density": x_extract_density,

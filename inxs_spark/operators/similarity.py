@@ -174,3 +174,92 @@ def pairwise_ann_candidates(
         .select("id_a", "id_b", "cos")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the FAISS-IVF-flat shape on DataFrames
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    max_sample: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer: Lloyd k-means on a bounded driver-side sample
+    (deterministic seed). At 100 TB the sample is still `max_sample`
+    rows — training cost is O(sample), never O(corpus); only the
+    assignment pass below touches every row."""
+    n = df.count()
+    frac = min(1.0, (max_sample * 1.2) / max(n, 1))
+    rows = (
+        df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_sample).collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - c||^2 == argmax_c (dot(v, c) - ||c||^2 / 2),
+    computed JVM-side (codegen'd expression, no Python hop)."""
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(*[
+        dot(v, _lit_vec(c)) - F.lit(float(np.dot(c, c)) / 2.0)
+        for c in centroids
+    ])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell. At scale,
+    write this out partitioned by `cell` (or bucketed) so queries
+    prune to nprobe cells at the SCAN — the IVF inverted lists ARE the
+    partition layout; no shuffle at query time."""
+    return df.select(
+        F.col(id_col), F.col(vec_col), _cell_expr(vec_col, centroids).alias("cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """IVF approximate top-k: rank the query's `nprobe` nearest cells
+    driver-side, scan only those inverted lists, exact cosine inside.
+    Recall follows the corpus's cluster structure — clustered corpora
+    reach high recall at nprobe ≪ n_cells; near-uniform corpora need
+    nprobe ≈ n_cells/2 (tested)."""
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, len(qv), n_cells, vec_col=vec_col, seed=seed
+        )
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d2.argsort()[:nprobe]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cands = assigned.filter(F.col("cell").isin(probes))
+    return cosine_topk(cands, qv, k, id_col, vec_col)

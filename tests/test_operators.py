@@ -315,3 +315,98 @@ class TestRelational:
         got = [r.bucket_epoch for r in time_bucket(df, "ts", 21_600).collect()]
         base = 1704067200  # 2024-01-01T00:00:00Z
         assert got == [base, base, base + 21_600]
+
+    @pytest.mark.parametrize("seed", [7, 42, 1337])
+    def test_asof_matches_pandas_merge_asof(self, spark, seed):
+        """Randomized cross-check against an independent reference
+        implementation (pandas merge_asof, backward direction)."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 120, 150
+        left = pd.DataFrame({
+            "user": rng.integers(0, 8, n_l).astype(str),
+            "t": rng.integers(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        })
+        right = pd.DataFrame({
+            "user": rng.integers(0, 8, n_r).astype(str),
+            "t": rng.integers(0, 1000, n_r).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64"),
+        })
+        # merge_asof ties on equal (user, t) pick the LAST right row;
+        # make (user, t) unique on the right so both sides agree
+        right = right.drop_duplicates(["user", "t"], keep="last")
+
+        from inxs_spark.operators.relational import asof_join
+
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                by="user", on="t", right_select={"rid": "rid_matched"},
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("t", kind="stable"),
+            on="t", by="user", direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+        lhs = got["rid_matched"].astype("float64")
+        rhs = want["rid"].astype("float64")
+        pd.testing.assert_series_equal(lhs, rhs, check_names=False)
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        """3 well-separated gaussian clusters in 8-d (IVF's home turf)."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        centers = np.array([[10, 0, 0, 0, 0, 0, 0, 0],
+                            [0, 10, 0, 0, 0, 0, 0, 0],
+                            [0, 0, 10, 0, 0, 0, 0, 0]], dtype=float)
+        rows = []
+        for i in range(240):
+            c = centers[i % 3] + rng.standard_normal(8) * 0.5
+            rows.append((i, [float(x) for x in c]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_ivf_assignment_separates_clusters(self, spark, clustered):
+        from inxs_spark.operators.similarity import ivf_assign, ivf_train_centroids
+
+        cents = ivf_train_centroids(clustered, dim=8, n_cells=3, iters=15)
+        got = ivf_assign(clustered, cents).collect()
+        # every true cluster (vec_id mod 3) must map to exactly one cell
+        by_true = {}
+        for r in got:
+            by_true.setdefault(r.vec_id % 3, set()).add(r.cell)
+        assert all(len(cells) == 1 for cells in by_true.values()), by_true
+        assert len({next(iter(c)) for c in by_true.values()}) == 3
+
+    def test_ivf_topk_matches_brute_force_on_clustered(self, spark, clustered):
+        from inxs_spark.operators.similarity import cosine_topk, ivf_topk
+
+        q = [10.0, 0.5, -0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+        brute = [r.vec_id for r in cosine_topk(clustered, q, k=10).collect()]
+        approx = [r.vec_id for r in ivf_topk(
+            clustered, q, k=10, n_cells=3, nprobe=1, seed=1
+        ).collect()]
+        # probing only 1 of 3 cells still recovers the full top-10 —
+        # the query lies inside one cluster
+        assert set(approx) == set(brute)
+
+    def test_ivf_assignment_is_jvm_side(self, spark, clustered):
+        """Cell assignment must plan as pure expressions — no
+        Python/Arrow eval node."""
+        from inxs_spark.operators.similarity import ivf_assign, ivf_train_centroids
+
+        cents = ivf_train_centroids(clustered, dim=8, n_cells=3)
+        plan = ivf_assign(clustered, cents)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan, plan
