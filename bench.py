@@ -134,6 +134,15 @@ def main() -> None:
     # the spiked samples. (One SparkContext per process → sessions are
     # created/stopped per rep; their startup is outside the timer.)
     if DO_SCALING:
+        # scaling input = the 2.4M-turn "scale" tier: with the current
+        # kernel the bench tier finishes in ~4s at 16 cores, where job
+        # fixed costs (scan, shuffle setup) dominate and mask the
+        # compute scaling the north rule is about — 4x volume puts the
+        # measurement back in the compute-bound regime of 10^12 turns.
+        boot2 = build_session(CPUS)
+        spath = ensure_transcripts(boot2, "scale")
+        s_turns = boot2.read.parquet(spath).count()
+        boot2.stop()
         n_low, n_high = SCALE_N, SCALE_N * 4
         walls: dict[int, list[float]] = {n_low: [], n_high: []}
         for _rep in range(SCALE_REPS):
@@ -144,18 +153,19 @@ def main() -> None:
                 from inxs_spark.plans.extract_pipeline import extract_df
 
                 extract_df(
-                    spark.read.parquet(tpath).limit(20000), num_partitions=cores
+                    spark.read.parquet(spath).limit(20000), num_partitions=cores
                 ).agg(F.count("*")).collect()  # warm the python workers
-                walls[cores].append(timed_extraction(spark, tpath, cores))
+                walls[cores].append(timed_extraction(spark, spath, cores))
                 spark.stop()
         t_low, t_high = min(walls[n_low]), min(walls[n_high])
-        eff = (n_turns / t_high) / (n_turns / t_low) / (n_high / n_low)
+        eff = (s_turns / t_high) / (s_turns / t_low) / (n_high / n_low)
         extra["scaling"] = {
             "pair": f"local[{n_low}] vs local[{n_high}]",
+            "input_turns": s_turns,
             f"local{n_low}_s": round(t_low, 2),
             f"local{n_high}_s": round(t_high, 2),
-            f"local{n_low}_turns_per_s": round(n_turns / t_low, 1),
-            f"local{n_high}_turns_per_s": round(n_turns / t_high, 1),
+            f"local{n_low}_turns_per_s": round(s_turns / t_low, 1),
+            f"local{n_high}_turns_per_s": round(s_turns / t_high, 1),
             "efficiency": round(eff, 3),
             "all_walls_s": {str(k): [round(x, 2) for x in v] for k, v in walls.items()},
         }

@@ -25,7 +25,7 @@ MAX_CONV_LEN = 2000
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
 #: scale tiers (FIXTURES.md §1): turns per tier
-TIERS = {"tiny": 2_000, "small": 60_000, "bench": 600_000}
+TIERS = {"tiny": 2_000, "small": 60_000, "bench": 600_000, "scale": 2_400_000}
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
