@@ -38,3 +38,17 @@ def test_table_example_serial():
     assert proc.returncode == 0, proc.stderr
     assert "('bolt', '7'" in proc.stdout
     assert "('nut', '3'" in proc.stdout
+
+
+def test_training_pipeline_example():
+    proc = subprocess.run(
+        [sys.executable, "examples/training_pipeline.py", "--tier", "tiny",
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout.strip().splitlines()[-1]
+    # deterministic corpus → deterministic summary line
+    assert out == (
+        "documents=9 turns=1982 tokens=38781 avg_tokens/doc=4309.0"
+    ), out
