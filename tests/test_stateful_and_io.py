@@ -83,3 +83,31 @@ def test_functions_facade(spark):
     ).collect()[0]
     assert row.n == 5.0 and abs(row.c - 1.0) < 1e-12
     assert row.t == 3 and row.s == 2
+
+
+def test_sql_function_matches_pipeline(spark, tiny_transcripts):
+    """extract_main_content() from spark.sql must produce byte-identical
+    text/failure to the extract_df pipeline (same kernel)."""
+    from inxs_spark.functions.sql import register_sql_functions
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    assert register_sql_functions(spark) == ["extract_main_content"]
+    tdf = spark.read.parquet(tiny_transcripts)
+    tdf.createOrReplaceTempView("transcripts_sql_test")
+    via_sql = {
+        (r.conv_id, r.turn_idx): (r.r.extracted_text, r.r.failure)
+        for r in spark.sql(
+            "SELECT conv_id, turn_idx, extract_main_content(text) AS r "
+            "FROM transcripts_sql_test"
+        ).collect()
+    }
+    via_pipeline = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
+        for r in extract_df(tdf).collect()
+    }
+    assert via_sql == via_pipeline
+    # plan stays vectorized: ArrowEvalPython, never BatchEvalPython
+    plan = spark.sql(
+        "SELECT extract_main_content(text) FROM transcripts_sql_test"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan, plan
