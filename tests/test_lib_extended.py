@@ -246,7 +246,42 @@ class TestXPathSubset:
 
     def test_unsupported_raises(self):
         with pytest.raises(XPathError):
-            xpath_all(X("<a/>"), ".//a[contains(@x, 'y')]")
+            xpath_all(X("<a/>"), ".//a[name()='q']")
+        with pytest.raises(XPathError):
+            xpath_all(X("<a/>"), ".//a[@x ~ 'y']")
+
+    def test_functions_and_boolean_logic(self):
+        root = X("<d><p class='ad box'>a</p><p class='main'>b</p>"
+                 "<p id='nav-top'>c</p><p>d</p></d>")
+        get = lambda e: [n.text for n in xpath_all(root, e, root=root)]
+        assert get(".//p[contains(@class,'ad')]") == ["a"]
+        assert get(".//p[starts-with(@id,'nav')]") == ["c"]
+        assert get(".//p[not(@class) and not(@id)]") == ["d"]
+        assert get(".//p[@class='main' or @id]") == ["b", "c"]
+        assert get(".//p[@class!='main']") == ["a"]  # absent attr != never true
+
+    def test_position_and_last(self):
+        root = X("<d><p>1</p><p>2</p><p>3</p><p>4</p></d>")
+        get = lambda e: [n.text for n in xpath_all(root, e, root=root)]
+        assert get(".//p[last()]") == ["4"]
+        assert get(".//p[position()<3]") == ["1", "2"]
+        assert get(".//p[position()>=2 and position()!=3]") == ["2", "4"]
+
+    def test_sequential_predicates_rerank(self):
+        root = X("<d><p>x</p><p k='1'>a</p><p k='2'>b</p></d>")
+        # [@k][2] must re-rank AFTER the attribute filter: the second
+        # k-bearing p is 'b' (global position 3)
+        assert [n.text for n in xpath_all(root, ".//p[@k][2]", root=root)] == ["b"]
+
+    def test_descendant_positional_is_per_parent(self):
+        root = X("<d><s><p>a</p><p>b</p></s><s><p>c</p></s></d>")
+        # ElementTree semantics: .//p[1] = first p within EACH parent
+        assert [n.text for n in xpath_all(root, ".//p[1]", root=root)] == ["a", "c"]
+
+    def test_union(self):
+        root = X("<d><a>1</a><b>2</b><c>3</c></d>")
+        got = [n.text for n in xpath_all(root, ".//a | .//c", root=root)]
+        assert got == ["1", "3"]
 
     def test_clark_notation(self):
         root = X('<d:doc xmlns:d="urn:x"><d:k/></d:doc>')
