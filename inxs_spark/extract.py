@@ -33,11 +33,16 @@ from .kernel.transformation import Ref, Rule, Transformation
 # pathological rows (SURVEY.md §5.2 spill row)
 MAX_PAYLOAD_CHARS = 4_000_000
 
-#: boilerplate containers dropped wholesale (their tails are junk too)
+#: structural boilerplate containers dropped wholesale — the text
+#: AFTER them (their tails) is layout junk too
 BOILERPLATE_TAGS = (
-    "header", "footer", "nav", "aside", "script", "style",
-    "noscript", "form", "iframe", "stderr", "meta",
+    "header", "footer", "nav", "aside", "form", "stderr", "meta",
 )
+
+#: invisible/executable elements that sit MID-FLOW: the element's
+#: content is junk but its tail is body text and must survive
+#: ("<script>…</script>keep" keeps "keep" — readability semantics)
+INLINE_JUNK_TAGS = ("script", "style", "noscript", "iframe")
 
 #: class-attribute patterns that mark ad/navigation containers
 _JUNK_CLASS = re.compile(r"(?:^|\s|-)(ads?|advert\w*|sidebar|banner|promo|cookie)(?:$|\s|-)")
@@ -72,6 +77,7 @@ def main_content_transformation() -> Transformation:
     el = Ref("element")
     classify = [
         Rule(Any(*BOILERPLATE_TAGS), (lib.append("trash", el),), name="collect-boilerplate"),
+        Rule(Any(*INLINE_JUNK_TAGS), (lib.append("inline_junk", el),), name="collect-inline-junk"),
         Rule({"class": _JUNK_CLASS}, (lib.append("trash", el),), name="collect-junk-classed"),
         Rule("ref", (lib.append("cites", el),), name="collect-cites"),
         Rule("stdout", (lib.append("unwraps", el),), name="collect-stdout"),
@@ -82,8 +88,9 @@ def main_content_transformation() -> Transformation:
         Rule("tr", (_ensure_tail("\n"),), name="format-tr"),
     ]
     return Transformation(
-        classify,  # grouped step: ONE traversal, seven rules (A4)
+        classify,  # grouped step: ONE traversal, eight rules (A4)
         lib.remove_elements("trash"),
+        lib.remove_elements("inline_junk", preserve_tail=True),
         lib.remove_elements("cites", preserve_tail=True),
         lib.remove_elements(
             "unwraps", keep_children=True, preserve_text=True, preserve_tail=True

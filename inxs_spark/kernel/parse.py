@@ -216,7 +216,9 @@ def parse_html(payload: str) -> Node:
 
 _HTML_HINT = re.compile(
     r"<(?:!doctype\s+html|html|body|div|p|span|table|ul|ol|li|nav|main|header"
-    r"|footer|article|section|br|h[1-6])[\s/>]",
+    r"|footer|article|section|br|h[1-6]"
+    r"|a|b|i|em|strong|td|th|tr|blockquote|pre|img|form|iframe|script|style)"
+    r"[\s/>]",
     re.IGNORECASE,
 )
 _XML_DECL = re.compile(r"^\s*<\?xml", re.IGNORECASE)

@@ -572,3 +572,34 @@ class TestLibExtras:
         assert a == main_content_transformation().fingerprint()
         other = Transformation(Rule("p", (lib.get_text,)))
         assert a != other.fingerprint()
+
+
+def test_inline_junk_tail_survives():
+    """script/style/noscript/iframe sit mid-flow: their CONTENT is
+    junk, their TAIL is body text (readability semantics)."""
+    from inxs_spark.extract import extract_turn
+
+    t, _, f = extract_turn("<div><script>if (a<b) {x}</script>keep</div>")
+    assert (t, f) == ("keep", None)
+    t, _, f = extract_turn("<div>pre <style>p {}</style>post</div>")
+    assert (t, f) == ("pre post", None)
+
+
+def test_structural_boilerplate_tail_dropped():
+    """nav/header/footer are layout containers: the stray text after
+    them is layout junk and goes with them."""
+    from inxs_spark.extract import extract_turn
+
+    t, _, f = extract_turn("<body><nav>m</nav>layout-junk<p>body</p></body>")
+    assert (t, f) == ("body", None)
+
+
+def test_inline_tag_soup_sniffs_as_html():
+    """b/i/a/em soup must route to the tag-soup parser, not fail as
+    XML (common in real-world fragments)."""
+    from inxs_spark.extract import extract_turn
+
+    t, _, f = extract_turn("<b><i>x</b></i>done")
+    assert f is None and t == "xdone"
+    t, _, f = extract_turn('<a href="/y">link</a> trail')
+    assert f is None and t == "link trail"
