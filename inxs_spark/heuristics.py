@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .extract import MAX_PAYLOAD_CHARS, text_with_spans
+from .extract import INLINE_JUNK_TAGS, MAX_PAYLOAD_CHARS, text_with_spans
 from .kernel import lib
 from .kernel.conditions import Any
 from .kernel.nodes import Node, iter_subtree
@@ -26,11 +26,10 @@ CONTAINER_TAGS = frozenset(
 )
 LINK_TAGS = frozenset({"a"})
 # semantic boilerplate elements dropped before scoring — standard
-# readability practice (header/footer/aside are layout, not content)
-NOISE_TAGS = (
-    "script", "style", "nav", "noscript", "iframe", "form",
-    "header", "footer", "aside",
-)
+# readability practice (header/footer/aside are layout, not content).
+# Inline junk (script/style/...) preserves its TAIL: that text is body
+# content (same split as extract.BOILERPLATE_TAGS vs INLINE_JUNK_TAGS)
+NOISE_TAGS = ("nav", "form", "header", "footer", "aside")
 
 
 def _text_lengths(node: Node) -> tuple[int, int]:
@@ -96,9 +95,13 @@ def pick_main_node(root: Node, tie_band: float = 0.75) -> Node:
 
 
 _CLEANUP = Transformation(
-    Rule(Any(*NOISE_TAGS), (lib.append("trash", Ref("element")),)),
+    [
+        Rule(Any(*NOISE_TAGS), (lib.append("trash", Ref("element")),)),
+        Rule(Any(*INLINE_JUNK_TAGS), (lib.append("inline_junk", Ref("element")),)),
+    ],
     lib.remove_elements("trash"),
-    name="density-cleanup-v1",
+    lib.remove_elements("inline_junk", preserve_tail=True),
+    name="density-cleanup-v2",
     copy=False,
 )
 

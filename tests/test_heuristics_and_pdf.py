@@ -98,3 +98,15 @@ class TestPdfLayout:
 
         with pytest.raises(NotImplementedError):
             parse_layout(synth_pdfs(spark, 2), parser="pdfium")
+
+
+def test_density_inline_junk_tail_survives():
+    from inxs_spark.heuristics import density_extract_turn
+
+    t, _, f = density_extract_turn(
+        "<html><body><div>lead <script>x<y</script>trail of the story "
+        "goes on long enough to win the density score easily</div>"
+        "<nav>m</nav></body></html>"
+    )
+    assert f is None and "trail of the story" in t and "lead" in t, t
+    assert "x<y" not in t
