@@ -410,3 +410,48 @@ class TestIVF:
         plan = ivf_assign(clustered, cents)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+class TestMultimodalReal:
+    def test_real_decode_image_and_audio(self, spark):
+        from inxs_spark.operators.multimodal import extract_features, synth_media
+
+        rows = extract_features(synth_media(spark, 24)).collect()
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r.kind, []).append(r)
+        assert all(r.failure is None for r in rows)
+        # images + audio decode for REAL; video is the documented stub
+        assert all(r.feature_kind == "real" for r in by_kind["image"])
+        assert all(r.feature_kind == "real" for r in by_kind["audio"])
+        assert all(r.feature_kind == "stub" for r in by_kind["video"])
+        img = by_kind["image"][0]
+        assert all(0.0 <= v <= 1.0 for v in img.feature[:5])
+        assert img.thumb_w == 32 and img.thumb_h == 32
+        aud = by_kind["audio"][0]
+        # pure sine: rms ≈ peak/sqrt(2), zcr > 0
+        assert 0.2 < aud.feature[0] < 0.4 and aud.feature[3] > 0.0
+
+    def test_corrupt_media_degrades_to_failure(self, spark):
+        from inxs_spark.operators.multimodal import extract_features
+
+        bad = spark.createDataFrame(
+            [(0, "image", bytearray(b"\x89PNG\r\n\x1a\ncorrupt"), None),
+             (1, "audio", bytearray(b"RIFFnope"), None)],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+        )
+        rows = extract_features(bad).collect()
+        assert len(rows) == 2
+        assert all(r.failure and "decode_error" in r.failure for r in rows)
+        assert all(r.feature is None for r in rows)
+
+    def test_png_wav_roundtrip_kernel(self):
+        from inxs_spark.kernel.mediamini import (
+            png_decode, png_encode, wav_decode, wav_encode,
+        )
+
+        px = [[(x % 256, (2 * y) % 256, 7) for x in range(9)] for y in range(5)]
+        assert png_decode(png_encode(px))[3] == px
+        sr, ch, got = wav_decode(wav_encode([0, 100, -100, 32000], 8000))
+        assert (sr, ch, got) == (8000, 1, [0, 100, -100, 32000])
