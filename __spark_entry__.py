@@ -458,6 +458,52 @@ def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling for corpus curation: the first 5
+    documents per language ordered by a content-independent hash —
+    reproducible across engines and runs (no RNG)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+        .orderBy("lang", "rn")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per language: token counts per lang x document frequency
+    across the corpus; top 3 terms per lang by score (token tiebreak).
+    All JVM-side: explode -> two hash aggregations -> broadcast join ->
+    window top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("lang", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "lang",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", F.col("rnk").cast("long").alias("rnk"), "token", "tfidf")
+        .orderBy("lang", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — not SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -630,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_6h_rollup": q_events_6h_rollup,
         "q_shipping_priority": q_shipping_priority,
         "q_order_price_percentiles": q_order_price_percentiles,
+        "q_lang_quota_sample": q_lang_quota_sample,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_failure_profile": x_extract_failure_profile,
         "x_minhash_dup_pairs": x_minhash_dup_pairs,
@@ -903,6 +951,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_lang_quota_sample": """
+            SELECT lang, doc_id, rn FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5 ORDER BY lang, rn
+        """,
+        "q_tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, lang, t.token
+                FROM documents,
+                     unnest(string_split(text, ' ')) AS t(token)
+                WHERE t.token != ''
+            ), tf AS (
+                SELECT lang, token, count(*) AS tf
+                FROM tok GROUP BY lang, token
+            ), dfreq AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+            ), n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT lang, rnk, token, tfidf FROM (
+                SELECT lang, token,
+                       round(tf * ln(n_docs / df), 4) AS tfidf,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY tf * ln(n_docs / df) DESC, token ASC
+                       ) AS rnk
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            ) WHERE rnk <= 3 ORDER BY lang, rnk
         """,
         "q_cosine_topk": """
             WITH q AS (
