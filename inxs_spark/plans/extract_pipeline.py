@@ -202,3 +202,87 @@ def extract_df(
         .drop("salt")
         .mapInArrow(fn, OUTPUT_SPARK_SCHEMA)
     )
+
+
+def extract_df_deduped(
+    df: DataFrame,
+    transformation: Transformation = MAIN_CONTENT,
+    num_partitions: Optional[int] = None,
+    row_fn=None,
+) -> DataFrame:
+    """Dedup-before-extract: run the kernel over DISTINCT payloads
+    only, then join results back to every (conv_id, turn_idx).
+
+    The 10^12-turn lever: agent transcripts repeat payloads heavily
+    (tool banners, templated turns, retried calls). Kernel compute
+    scales with DISTINCT payloads while the join-back is pure JVM
+    shuffle — profitable whenever the duplicate factor outweighs one
+    exchange of the (fingerprint, results) table. Byte-identical to
+    :func:`extract_df` by construction (same kernel per distinct
+    payload; test-asserted).
+
+    Plan shape::
+
+        scan ─┬─ project (conv_id, turn_idx, fp=xxhash64(text))
+              └─ distinct(fp, text) → repartition(fp) → mapInArrow
+                   └────────── join on fp (both sides shuffle on fp)
+
+    NULL texts hash to a sentinel so they join like any other payload.
+    At 100 TB: AQE handles fp skew (the join IS a join, unlike the
+    UDF fan-out in extract_df, so AQE's skew-join split applies); a
+    super-hot fingerprint (billions of identical turns) is exactly the
+    case where this variant wins biggest.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        cores = spark.sparkContext.defaultParallelism
+        num_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            3 * cores,
+        )
+    fp = F.coalesce(F.xxhash64("text"), F.lit(0)).alias("fp")
+    keyed = df.select("conv_id", "turn_idx", F.col("text"), fp)
+    distinct = (
+        keyed.select("fp", "text")
+        .dropDuplicates(["fp"])
+        .repartition(num_partitions, "fp")
+    )
+    fn = make_extract_fn(transformation, row_fn=row_fn)
+
+    def extract_keep_fp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            fps = batch.column(batch.schema.get_field_index("fp"))
+            # reuse the kernel batch fn on a (conv_id, turn_idx, text)
+            # shaped batch; conv_id/turn_idx are dummies here
+            shaped = pa.RecordBatch.from_arrays(
+                [
+                    pa.array([""] * len(batch), type=pa.string()),
+                    pa.array([0] * len(batch), type=pa.int32()),
+                    batch.column(batch.schema.get_field_index("text")),
+                ],
+                names=["conv_id", "turn_idx", "text"],
+            )
+            for out in fn(iter([shaped])):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        fps,
+                        out.column(2),  # extracted_text
+                        out.column(3),  # spans
+                        out.column(4),  # failure
+                    ],
+                    names=["fp", "extracted_text", "spans", "failure"],
+                )
+
+    extracted_distinct = distinct.mapInArrow(
+        extract_keep_fp,
+        "fp long, extracted_text string, "
+        "spans array<struct<start:int,end:int,path:string>>, failure string",
+    )
+    return (
+        keyed.drop("text")
+        .join(extracted_distinct, "fp")
+        .drop("fp")
+        .repartition(num_partitions, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "extracted_text", "spans", "failure")
+    )

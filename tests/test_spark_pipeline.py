@@ -151,3 +151,36 @@ def test_manifest_contents(spark, tiny_transcripts, tmp_out):
     assert manifest["rows_out"] > 0
     assert manifest["rule_set_hash"] == MAIN_CONTENT.fingerprint()
     assert manifest["output_fingerprint"].startswith("files-")
+
+
+def test_deduped_pipeline_byte_identical(spark, tiny_transcripts):
+    """extract_df_deduped must be indistinguishable from extract_df —
+    same kernel, same rows, same spans — while computing each DISTINCT
+    payload once."""
+    from inxs_spark.plans.extract_pipeline import extract_df, extract_df_deduped
+
+    df = spark.read.parquet(tiny_transcripts)
+    key = lambda r: (r.conv_id, r.turn_idx)
+    val = lambda r: (r.extracted_text, tuple(map(tuple, r.spans)), r.failure)
+    a = {key(r): val(r) for r in extract_df(df).collect()}
+    b = {key(r): val(r) for r in extract_df_deduped(df).collect()}
+    assert a == b
+
+
+def test_deduped_pipeline_on_duplicate_heavy_input(spark):
+    """A corpus where one payload repeats 500x: results still per-turn
+    correct (the 10^12-turn win case: kernel runs once per distinct)."""
+    from inxs_spark.plans.extract_pipeline import extract_df_deduped
+
+    rows = [("c%03d" % (i % 10), i // 10, "<p>same <b>body</b></p>")
+            for i in range(500)]
+    rows += [("unique", 0, "<article><nav>x</nav><p>only once</p></article>"),
+             ("empty", 0, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    got = {(r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
+           for r in extract_df_deduped(df).collect()}
+    assert len(got) == 502
+    assert got[("c000", 0)] == ("same body", None)
+    assert got[("unique", 0)] == ("only once", None)
+    assert got[("empty", 0)] == ("", None)
