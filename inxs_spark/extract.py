@@ -108,53 +108,58 @@ MAIN_CONTENT = main_content_transformation()
 
 def text_with_spans(root: Node) -> tuple[str, list[tuple[int, int, str]]]:
     """Document-order text walk over the FINAL DOM. Returns the
-    concatenated text and per-segment (start, end, path) spans."""
+    concatenated text and per-segment (start, end, path) spans.
+
+    Iterative (explicit event stack) — document depth never recurses,
+    so arbitrarily deep payloads extract instead of failing. Paths are
+    built incrementally during the walk (equivalent to Node.path_from
+    but O(1) per node instead of an upward walk per text segment)."""
     parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     offset = 0
 
-    # paths are built incrementally during the walk (equivalent to
-    # Node.path_from but O(1) per node instead of an upward walk per
-    # text segment — profiled hot spot)
-    def visit(node: Node, path: str) -> None:
-        nonlocal offset
-        if node.text:
-            start = offset
-            offset += len(node.text)
-            parts.append(node.text)
-            spans.append((start, offset, path))
+    def child_paths(node: Node, path: str) -> list:
         children = node.children
-        if not children:
-            return
         if len(children) == 1:
             child = children[0]
-            cpath = f"{path}/{child.localname}"
-            visit(child, cpath)
-            if child.tail:
-                start = offset
-                offset += len(child.tail)
-                parts.append(child.tail)
-                spans.append((start, offset, cpath))
-            return
+            return [(child, f"{path}/{child.localname}")]
         counts: dict[str, int] = {}
         for child in children:
             counts[child.tag] = counts.get(child.tag, 0) + 1
         seen: dict[str, int] = {}
+        out = []
         for child in children:
             if counts[child.tag] > 1:
                 nth = seen.get(child.tag, 0) + 1
                 seen[child.tag] = nth
-                cpath = f"{path}/{child.localname}[{nth}]"
+                out.append((child, f"{path}/{child.localname}[{nth}]"))
             else:
-                cpath = f"{path}/{child.localname}"
-            visit(child, cpath)
-            if child.tail:
-                start = offset
-                offset += len(child.tail)
-                parts.append(child.tail)
-                spans.append((start, offset, cpath))
+                out.append((child, f"{path}/{child.localname}"))
+        return out
 
-    visit(root, "/" + root.localname)
+    # event stack: (is_tail, node, path). A child pushes its tail
+    # event BELOW its node event so the tail emits after the subtree.
+    stack: list[tuple[bool, Node, str]] = [(False, root, "/" + root.localname)]
+    while stack:
+        is_tail, node, path = stack.pop()
+        if is_tail:
+            tail = node.tail
+            if tail:
+                start = offset
+                offset += len(tail)
+                parts.append(tail)
+                spans.append((start, offset, path))
+            continue
+        text = node.text
+        if text:
+            start = offset
+            offset += len(text)
+            parts.append(text)
+            spans.append((start, offset, path))
+        if node.children:
+            for child, cpath in reversed(child_paths(node, path)):
+                stack.append((True, child, cpath))
+                stack.append((False, child, cpath))
     return "".join(parts), spans
 
 

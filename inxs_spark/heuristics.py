@@ -17,7 +17,7 @@ from typing import Optional
 from .extract import INLINE_JUNK_TAGS, MAX_PAYLOAD_CHARS, text_with_spans
 from .kernel import lib
 from .kernel.conditions import Any
-from .kernel.nodes import Node, iter_subtree
+from .kernel.nodes import Node
 from .kernel.parse import ParseError, parse_payload
 from .kernel.transformation import Ref, Rule, Transformation
 
@@ -32,29 +32,44 @@ LINK_TAGS = frozenset({"a"})
 NOISE_TAGS = ("nav", "form", "header", "footer", "aside")
 
 
+def _subtree_stats(root: Node) -> dict[int, tuple[int, int]]:
+    """id(node) → (total_text_len, link_text_len) for EVERY node, in
+    one iterative postorder pass (O(n) — the naive per-candidate walk
+    is O(n^2..n^3) and hangs on deep chains).
+
+    own(n) = stripped len(n.text) + stripped len(children tails)
+    total(n) = own(n) + Σ total(child)
+    linked(n) = total(n) if n is a link else Σ linked(child)
+    (a link ancestor claims its whole subtree — same set of segments
+    the per-candidate ancestor walk counted)."""
+    stats: dict[int, tuple[int, int]] = {}
+    # iterative postorder: push (node, visited)
+    stack: list[tuple[Node, bool]] = [(root, False)]
+    while stack:
+        node, visited = stack.pop()
+        if not visited:
+            stack.append((node, True))
+            for child in node.children:
+                stack.append((child, False))
+            continue
+        own = len((node.text or "").strip()) + sum(
+            len((c.tail or "").strip()) for c in node.children
+        )
+        total = own
+        linked = 0
+        for c in node.children:
+            ct, cl = stats[id(c)]
+            total += ct
+            linked += cl
+        if node.tag in LINK_TAGS:
+            linked = total
+        stats[id(node)] = (total, linked)
+    return stats
+
+
 def _text_lengths(node: Node) -> tuple[int, int]:
     """(total_text_len, link_text_len) for the subtree."""
-    total = 0
-    linked = 0
-    for n in iter_subtree(node):
-        # stripped lengths: indentation/newlines between elements must
-        # not count as "content" (they inflate ancestor scores)
-        own = len((n.text or "").strip()) + sum(
-            len((c.tail or "").strip()) for c in n.children
-        )
-        total += own
-        if n.tag in LINK_TAGS or _has_link_ancestor(n, node):
-            linked += own
-    return total, linked
-
-
-def _has_link_ancestor(node: Node, stop: Node) -> bool:
-    cur = node.parent
-    while cur is not None and cur is not stop.parent:
-        if cur.tag in LINK_TAGS:
-            return True
-        cur = cur.parent
-    return False
+    return _subtree_stats(node)[id(node)]
 
 
 def score(node: Node) -> float:
@@ -70,25 +85,32 @@ def pick_main_node(root: Node, tie_band: float = 0.75) -> Node:
     the best score, prefer the DEEPEST (an ancestor always scores at
     least as high as the child that holds the content — the band lets
     the tighter container win over <body>)."""
-    candidates = [
-        n for n in iter_subtree(root)
-        if n.tag in CONTAINER_TAGS or n is root
-    ]
+    # ONE O(n) stats pass scores every candidate; depths ride the same
+    # walk (per-candidate subtree scoring is quadratic on deep trees)
+    stats = _subtree_stats(root)
+    depths: dict[int, int] = {id(root): 0}
+    candidates: list[tuple[int, Node]] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        d = depths[id(n)]
+        if n.tag in CONTAINER_TAGS or n is root:
+            candidates.append((d, n))
+        for child in reversed(n.children):
+            depths[id(child)] = d + 1
+            stack.append(child)
     if not candidates:
         return root
-    scored = [(score(n), n) for n in candidates]
-    best_score = max(s for s, _ in scored)
+
+    def node_score(n: Node) -> float:
+        total, linked = stats[id(n)]
+        return total * (1.0 - linked / total) if total else 0.0
+
+    scored = [(node_score(n), d, n) for d, n in candidates]
+    best_score = max(s for s, _, _ in scored)
     if best_score <= 0:
         return root
-
-    def depth(n: Node) -> int:
-        d = 0
-        while n.parent is not None:
-            d += 1
-            n = n.parent
-        return d
-
-    near_best = [(depth(n), s, i, n) for i, (s, n) in enumerate(scored)
+    near_best = [(d, s, i, n) for i, (s, d, n) in enumerate(scored)
                  if s >= tie_band * best_score]
     near_best.sort(key=lambda t: (-t[0], -t[1], t[2]))
     return near_best[0][3]

@@ -96,13 +96,20 @@ class Node:
 
     def itertext(self) -> Iterator[str]:
         """Document-order text: self.text, then each child's subtree
-        text followed by that child's tail (ElementTree semantics)."""
-        if self.text:
-            yield self.text
-        for child in self.children:
-            yield from child.itertext()
-            if child.tail:
-                yield child.tail
+        text followed by that child's tail (ElementTree semantics).
+        Iterative — deep documents must not recurse."""
+        stack: list[tuple[bool, "Node"]] = [(False, self)]
+        while stack:
+            is_tail, node = stack.pop()
+            if is_tail:
+                if node.tail:
+                    yield node.tail
+                continue
+            if node.text:
+                yield node.text
+            for child in reversed(node.children):
+                stack.append((True, child))
+                stack.append((False, child))
 
     def full_text(self) -> str:
         return "".join(self.itertext())
@@ -133,8 +140,16 @@ class Node:
 
     def deepcopy(self) -> "Node":
         clone = Node(self.tag, dict(self.attrib), self.text, self.tail)
-        for child in self.children:
-            clone.append(child.deepcopy())
+        stack = [(self, clone)]
+        while stack:
+            src, dst = stack.pop()
+            dst_children = dst.children
+            for child in src.children:
+                c = Node(child.tag, dict(child.attrib), child.text, child.tail)
+                c.parent = dst
+                dst_children.append(c)
+                if child.children:
+                    stack.append((child, c))
         return clone
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -142,7 +157,11 @@ class Node:
 
 
 def iter_subtree(node: Node) -> Iterator[Node]:
-    """Preorder, left-to-right (the default traversal)."""
-    yield node
-    for child in node.children:
-        yield from iter_subtree(child)
+    """Preorder, left-to-right (the default traversal). Iterative —
+    deep documents must not recurse."""
+    stack = [node]
+    while stack:
+        current = stack.pop()
+        yield current
+        if current.children:
+            stack.extend(reversed(current.children))

@@ -52,9 +52,14 @@ class XPathError(ValueError):
 
 
 def _descendants_or_self(node: Node) -> List[Node]:
-    out = [node]
-    for child in node.children:
-        out.extend(_descendants_or_self(child))
+    # iterative preorder — deep documents must not recurse
+    out: List[Node] = []
+    stack = [node]
+    while stack:
+        current = stack.pop()
+        out.append(current)
+        if current.children:
+            stack.extend(reversed(current.children))
     return out
 
 

@@ -52,8 +52,10 @@ class TestDensityExtraction:
         assert density_extract_turn(None) == ("", [], None)
         assert density_extract_turn("plain words")[0] == "plain words"
         assert density_extract_turn("<doc><para>oops")[2] == "parse_error"
+        # deep nesting EXTRACTS now (all walks iterative); the
+        # RecursionError → payload_too_deep net remains as last resort
         deep = "<a>" * 3000 + "x" + "</a>" * 3000
-        assert density_extract_turn(deep)[2] == "payload_too_deep"
+        assert density_extract_turn(deep)[:1] + density_extract_turn(deep)[2:] == ("x", None)
 
     def test_rides_the_same_pipeline(self, spark, tiny_transcripts):
         from inxs_spark.plans.extract_pipeline import extract_df
