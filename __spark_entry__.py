@@ -516,6 +516,16 @@ def x_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_df(_transcripts(spark, sf_dir))
 
 
+def x_extract_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-extract variant: kernel runs once per DISTINCT
+    payload, results join back per turn — byte-identical output to
+    x_extract_transcripts (test-asserted), compute ∝ distinct
+    payloads (the 10^12-turn template-heavy-corpus lever)."""
+    from inxs_spark.plans.extract_pipeline import extract_df_deduped
+
+    return extract_df_deduped(_transcripts(spark, sf_dir))
+
+
 def x_extract_failure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.plans.extract_pipeline import extract_df
 
@@ -679,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_quota_sample": q_lang_quota_sample,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "x_extract_transcripts": x_extract_transcripts,
+        "x_extract_deduped": x_extract_deduped,
         "x_extract_failure_profile": x_extract_failure_profile,
         "x_minhash_dup_pairs": x_minhash_dup_pairs,
         "x_simhash_dup_pairs": x_simhash_dup_pairs,

@@ -184,3 +184,14 @@ def test_deduped_pipeline_on_duplicate_heavy_input(spark):
     assert got[("c000", 0)] == ("same body", None)
     assert got[("unique", 0)] == ("only once", None)
     assert got[("empty", 0)] == ("", None)
+
+
+def test_contract_deduped_equals_plain(spark, tiny_transcripts):
+    """x_extract_deduped must match x_extract_transcripts row-for-row."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r.conv_id, r.turn_idx)
+    a = {key(r): r.extracted_text for r in E.queries()["x_extract_transcripts"](spark, sf).collect()}
+    b = {key(r): r.extracted_text for r in E.queries()["x_extract_deduped"](spark, sf).collect()}
+    assert a == b
