@@ -64,15 +64,17 @@ def streaming_turn_rates(
     input_path: str,
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    reader_options: Optional[dict] = None,
 ) -> DataFrame:
     """Event-time windowed turn counts per role with a watermark for
     late data — the streaming-state surface (window + watermark +
     append mode). Returns the streaming DataFrame; callers attach a
-    sink."""
-    stream = (
-        spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
-        .parquet(input_path)
-    )
+    sink. ``reader_options`` reach the file SOURCE (e.g.
+    maxFilesPerTrigger to control microbatch boundaries)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_path)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("role"))

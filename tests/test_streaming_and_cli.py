@@ -103,3 +103,63 @@ def test_jobs_extract_cli(tmp_out):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["chunks_run"] == 2
     assert os.path.isdir(os.path.join(out_dir, "extracted"))
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_out):
+    """Explicit late-data semantics: a row older than the watermark,
+    arriving AFTER its window was finalized, is dropped — counted in
+    numRowsDroppedByWatermark, absent from the emitted window.
+
+    Batch 1: two t≈00:00 events + a t=10:00 event (advances the
+    watermark to 09:58 after the batch). Batch 2: a t=11:00 event —
+    the 00:00 window finalizes and emits with count 2. Batch 3: a late
+    t=00:30 event → dropped. maxFilesPerTrigger=1 (a SOURCE option)
+    makes each file its own microbatch."""
+    import datetime as dt
+    import time
+
+    from inxs_spark.streaming.extract_stream import streaming_turn_rates
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    indir = os.path.join(tmp_out, "in")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, name))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    write_batch("b1", [
+        ("c1", 0, "user", "x", None, base),
+        ("c1", 1, "user", "x", None, base + dt.timedelta(seconds=20)),
+        ("c1", 2, "user", "x", None, base + dt.timedelta(minutes=10)),
+    ])
+    write_batch("b2", [
+        ("c1", 4, "user", "x", None, base + dt.timedelta(minutes=11)),
+    ])
+    write_batch("b3", [
+        ("c1", 3, "user", "late", None, base + dt.timedelta(seconds=30)),
+    ])
+
+    agg = streaming_turn_rates(
+        spark, os.path.join(indir, "*"),
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_out, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress if p["stateOperators"]
+    )
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+    first = [r for r in spark.sql("select * from late_drop_test").collect()
+             if r.window_start == base]
+    assert len(first) == 1 and first[0].n_turns == 2, first
