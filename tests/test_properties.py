@@ -130,3 +130,37 @@ def test_traversal_orders_visit_same_node_set(root):
     for n in post:
         for c in n.children:
             assert pos_post[id(n)] > pos_post[id(c)]
+
+
+# ---------------------------------------------------------------------------
+# fuzz: the production invariant — extract_turn NEVER raises
+# ---------------------------------------------------------------------------
+
+_markup_chars = st.sampled_from(list("<>/=&;'\"abpt ![]-\n\té\U0001f389"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_markup_chars, max_size=120).map("".join))
+def test_extract_turn_never_raises_on_garbage(payload):
+    from inxs_spark.extract import extract_turn
+
+    text, spans, failure = extract_turn(payload)
+    assert failure in (None, "parse_error", "payload_too_deep",
+                       "payload_too_large", "transform_error")
+    if failure is None and text:
+        # spans index into the text and are monotonically increasing
+        last = 0
+        for s, e, _path in spans:
+            assert 0 <= s <= e <= len(text)
+            assert s >= last
+            last = e
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_markup_chars, max_size=120).map("".join))
+def test_density_extract_never_raises_on_garbage(payload):
+    from inxs_spark.heuristics import density_extract_turn
+
+    _text, _spans, failure = density_extract_turn(payload)
+    assert failure in (None, "parse_error", "payload_too_deep",
+                       "payload_too_large", "transform_error")
