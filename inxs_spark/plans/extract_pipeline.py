@@ -102,25 +102,46 @@ def make_extract_fn(
             texts = batch.column(schema.get_field_index("text")).to_pylist()
             rows_in += len(texts)
             extracted: list[Optional[str]] = []
-            spans_col: list[list[tuple]] = []
             fails: list[Optional[str]] = []
+            # spans build FLAT (offsets + three value arrays) — pyarrow
+            # converts flat primitive lists far faster than nested
+            # list-of-tuples (profiled ~half the wrapper overhead)
+            offsets = [0]
+            s_starts: list[int] = []
+            s_ends: list[int] = []
+            s_paths: list[str] = []
             for payload in texts:
                 if row_fn is not None:
                     text, spans, failure = row_fn(payload)
                 else:
                     text, spans, failure = extract_turn(payload, transformation)
                 extracted.append(text)
-                spans_col.append(spans)
+                for s, e, p in spans:
+                    s_starts.append(s)
+                    s_ends.append(e)
+                    s_paths.append(p)
+                offsets.append(len(s_starts))
                 fails.append(failure)
                 if failure is not None:
                     failures += 1
             rows_out += len(texts)
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(s_starts, type=pa.int32()),
+                        pa.array(s_ends, type=pa.int32()),
+                        pa.array(s_paths, type=pa.string()),
+                    ],
+                    names=["start", "end", "path"],
+                ),
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     conv.cast(pa.string()),
                     turn.cast(pa.int32()),
                     pa.array(extracted, type=pa.string()),
-                    pa.array(spans_col, type=SPAN_TYPE),
+                    spans_arr,
                     pa.array(fails, type=pa.string()),
                 ],
                 schema=_OUT_ARROW,
