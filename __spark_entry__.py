@@ -458,6 +458,30 @@ def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT: broadcast self-join with
+    id_a < id_b, cosine >= 0.45. O(n^2) — the correctness baseline; the
+    scale path is the LSH-bucketed x_embedding_near_dup (candidates ~
+    corpus/2^planes per bucket, one shuffle)."""
+    from inxs_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    raw = cosine(
+        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", raw)
+        .filter(F.col("cos_raw") >= 0.45)  # filter on RAW cosine (both
+        # sides): filtering on the rounded value would flip pairs at
+        # the 0.44995 boundary vs the oracle
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quota sampling for corpus curation: the first 5
     documents per language ordered by a content-independent hash —
@@ -514,6 +538,20 @@ def x_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.plans.extract_pipeline import extract_df
 
     return extract_df(_transcripts(spark, sf_dir))
+
+
+def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the scale path): same-
+    bucket candidates → exact cosine >= threshold. Approximate (bucket
+    recall < 1 on near-uniform data) → rows-only check; the exact
+    q_embedding_near_dup_exact is the oracle-checked baseline."""
+    from inxs_spark.operators.similarity import pairwise_ann_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return pairwise_ann_candidates(
+        emb, dim=dim, n_planes=6, min_cos=0.45
+    ).orderBy("id_a", "id_b")
 
 
 def x_extract_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,8 +724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_6h_rollup": q_events_6h_rollup,
         "q_shipping_priority": q_shipping_priority,
         "q_order_price_percentiles": q_order_price_percentiles,
+        "q_embedding_near_dup_exact": q_embedding_near_dup_exact,
         "q_lang_quota_sample": q_lang_quota_sample,
         "q_tfidf_top_terms": q_tfidf_top_terms,
+        "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
         "x_extract_failure_profile": x_extract_failure_profile,
@@ -962,6 +1002,26 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_embedding_near_dup_exact": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4
+                   ) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                           i -> a.v[i] * b.v[i]))
+                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45
+            ORDER BY id_a, id_b
         """,
         "q_lang_quota_sample": """
             SELECT lang, doc_id, rn FROM (
