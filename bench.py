@@ -116,13 +116,24 @@ def main() -> None:
     extra[f"extract_local{CPUS}_turns_per_s"] = round(n_turns / wall, 1)
 
     qs = entry.queries()
-    for name, key in [
+    suite = [
         ("q1_pricing_summary", "q1_pricing_summary"),
         ("q_regional_revenue", "q_regional_revenue"),
         ("q_latest_order_per_customer", "q_latest_order"),
         ("x_minhash_dup_pairs", "dd_minhash"),
         ("q_cosine_topk", "sim_cosine_topk"),
-    ]:
+    ]
+    # warm pass at the tiny tier: spins up pandas-UDF python workers /
+    # codegen so the timed numbers measure the queries, not JVM/worker
+    # cold start (extraction got its warm-up above)
+    for name, _key in suite:
+        try:
+            qs[name](boot, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort
+    for name, key in suite:
         t0 = time.monotonic()
         qs[name](boot, SF_DIR).write.format("noop").mode("overwrite").save()
         results[key] = round(time.monotonic() - t0, 3)
