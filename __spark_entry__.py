@@ -681,6 +681,33 @@ def x_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's table-extraction example AT SCALE via the
+    generic transformation runner: every <tr> in every turn's payload
+    becomes one (conv_id, turn_idx, row_idx, cells) record — per-turn
+    fan-out through ONE Arrow hop (kernel semantics not expressible in
+    SQL → rows-only)."""
+    from inxs_spark.kernel import Rule, Transformation, lib
+    from inxs_spark.plans.transform_pipeline import transform_df
+
+    def row_cells(element):
+        return tuple(c.full_text() for c in element.children)
+
+    t = Transformation(
+        Rule("tr", (row_cells, lib.append("rows"))),
+        name="table-extraction",
+        result_object="context.rows",
+    )
+    return transform_df(
+        _transcripts(spark, sf_dir),
+        t,
+        result_schema="row_idx int, cells array<string>",
+        result_fn=lambda rows, _root: [
+            {"row_idx": i, "cells": list(r)} for i, r in enumerate(rows or [])
+        ],
+    ).orderBy("conv_id", "turn_idx", "row_idx")
+
+
 def x_pdf_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout-parse plumbing (decode stubbed per container limits):
     binary pdf → (page, block) rows → body text in reading order."""
@@ -738,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_then_dedup": x_extract_then_dedup,
         "x_conversation_documents": x_conversation_documents,
         "x_extract_density": x_extract_density,
+        "x_table_records": x_table_records,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
     }

@@ -195,3 +195,42 @@ def test_contract_deduped_equals_plain(spark, tiny_transcripts):
     a = {key(r): r.extracted_text for r in E.queries()["x_extract_transcripts"](spark, sf).collect()}
     b = {key(r): r.extracted_text for r in E.queries()["x_extract_deduped"](spark, sf).collect()}
     assert a == b
+
+
+def test_transform_df_matches_serial_kernel(spark, tiny_transcripts):
+    """Generic runner parity: Spark table-records output must equal the
+    serial kernel applied per turn (same transformation object)."""
+    from inxs_spark.kernel import Rule, Transformation, lib
+    from inxs_spark.kernel.parse import ParseError, parse_payload
+    from inxs_spark.plans.transform_pipeline import transform_df
+
+    def row_cells(element):
+        return tuple(c.full_text() for c in element.children)
+
+    t = Transformation(
+        Rule("tr", (row_cells, lib.append("rows"))),
+        name="table-extraction", result_object="context.rows",
+    )
+    df = spark.read.parquet(tiny_transcripts)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.row_idx, tuple(r.cells))
+        for r in transform_df(
+            df, t, result_schema="row_idx int, cells array<string>",
+            result_fn=lambda rows, _r: [
+                {"row_idx": i, "cells": list(x)} for i, x in enumerate(rows or [])
+            ],
+        ).collect()
+    )
+    want = []
+    for row in df.collect():
+        try:
+            root, _ = parse_payload(row.text)
+            if root is None:
+                continue
+            result = t(root)  # raises when no <tr> matched (context.rows
+            # unset) — the runner's on_error='skip' policy drops those
+        except Exception:
+            continue
+        for i, cells in enumerate(result or []):
+            want.append((row.conv_id, row.turn_idx, i, tuple(cells)))
+    assert got == sorted(want) and got, (len(got), len(want))
