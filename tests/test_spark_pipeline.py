@@ -234,3 +234,24 @@ def test_transform_df_matches_serial_kernel(spark, tiny_transcripts):
         for i, cells in enumerate(result or []):
             want.append((row.conv_id, row.turn_idx, i, tuple(cells)))
     assert got == sorted(want) and got, (len(got), len(want))
+
+
+def test_every_contract_query_analyzes(spark):
+    """Bitrot guard for the driver contract: every queries() entry must
+    at least pass Catalyst ANALYSIS at the tiny tier (resolves columns,
+    types, UDF signatures — no execution). Full value checks run via
+    tools/check_contract.py and the driver's oracle pass."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in E.queries().items():
+        try:
+            df = fn(spark, sf)
+            df.schema  # forces analysis
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            failures.append((name, repr(exc)[:200]))
+    assert not failures, failures
+    # every oracle key must have a matching query
+    assert set(oracles) <= set(E.queries())
