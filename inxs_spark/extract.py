@@ -106,6 +106,86 @@ def main_content_transformation() -> Transformation:
 MAIN_CONTENT = main_content_transformation()
 
 
+def fused_main_content(root: Node) -> Node:
+    """Hand-fused physical operator for the MAIN_CONTENT logical plan —
+    the kernel's analogue of a database shipping a specialized operator
+    for a hot plan shape. ONE iterative walk replaces the generic
+    condition/DI machinery; the removal steps reuse the exact lib
+    internals, in the same bucket order, so semantics are identical BY
+    CONSTRUCTION where possible and BY TEST everywhere (the equivalence
+    suite runs every corpus payload plus hypothesis-random DOMs through
+    both paths). The declarative ``MAIN_CONTENT`` object remains the
+    source of truth and the lineage ``rule_set_hash``.
+
+    Faithfulness notes mirroring the interpreter's rule order
+    (collect-boilerplate, collect-inline-junk, collect-junk-classed,
+    collect-cites/stdout, format-td/th/tr; then the four removal
+    steps):
+    - a node can enter ``trash`` twice (boilerplate AND junk-classed) —
+      harmless, the second removal is a no-op, same as the interpreter
+    - an inline-junk node with a junk class lands in BOTH lists; trash
+      removes first (tail dropped), the inline pass no-ops — exactly
+      the interpreter's outcome
+    """
+    from .kernel.lib import _remove_one
+
+    trash: list[Node] = []
+    inline: list[Node] = []
+    cites: list[Node] = []
+    unwraps: list[Node] = []
+    bo = _BOILERPLATE_SET
+    ij = _INLINE_JUNK_SET
+    junk_search = _JUNK_CLASS.search
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        tag = node.tag
+        # tag conditions match qualified OR local name (MatchesTag
+        # semantics); rules use plain names, so match on the localname
+        if tag[0] == "{":
+            tag = tag[tag.index("}") + 1:]
+        if tag in bo:
+            trash.append(node)
+        if tag in ij:
+            inline.append(node)
+        attrib = node.attrib
+        if attrib:
+            cls = attrib.get("class")
+            if cls is not None and junk_search(cls):
+                trash.append(node)
+        if tag == "ref":
+            cites.append(node)
+        elif tag == "stdout":
+            unwraps.append(node)
+        elif tag == "td" or tag == "th":
+            if node.tail is None:
+                node.tail = "\t"
+        elif tag == "tr":
+            if node.tail is None:
+                node.tail = "\n"
+        children = node.children
+        if children:
+            stack.extend(reversed(children))
+    for e in trash:
+        _remove_one(e)
+    for e in inline:
+        _remove_one(e, preserve_tail=True)
+    for e in cites:
+        _remove_one(e, preserve_tail=True)
+    for e in unwraps:
+        _remove_one(e, keep_children=True, preserve_text=True, preserve_tail=True)
+    return root
+
+
+_BOILERPLATE_SET = frozenset(BOILERPLATE_TAGS)
+_INLINE_JUNK_SET = frozenset(INLINE_JUNK_TAGS)
+
+#: the fused fast path runs whenever extraction uses the unmodified
+#: flagship preset; flip off to force the generic interpreter (the
+#: equivalence tests exercise both regardless)
+USE_FUSED_MAIN_CONTENT = True
+
+
 def text_with_spans(root: Node) -> tuple[str, list[tuple[int, int, str]]]:
     """Document-order text walk over the FINAL DOM. Returns the
     concatenated text and per-segment (start, end, path) spans.
@@ -188,7 +268,10 @@ def extract_turn(
         root, kind = parse_payload(payload)
         if root is None:  # plain text passthrough
             return payload, [(0, len(payload), "/")], None
-        transformed = transformation(root)
+        if transformation is MAIN_CONTENT and USE_FUSED_MAIN_CONTENT:
+            transformed = fused_main_content(root)
+        else:
+            transformed = transformation(root)
         text, spans = text_with_spans(transformed)
         return text, spans, None
     except ParseError:

@@ -164,3 +164,61 @@ def test_density_extract_never_raises_on_garbage(payload):
     _text, _spans, failure = density_extract_turn(payload)
     assert failure in (None, "parse_error", "payload_too_deep",
                        "payload_too_large", "transform_error")
+
+
+# ---------------------------------------------------------------------------
+# fused flagship operator ≡ declarative interpreter (extract.py)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_TAGS = (
+    "div", "p", "nav", "header", "footer", "aside", "script", "style",
+    "iframe", "ref", "stdout", "td", "th", "tr", "table", "span", "meta",
+    "{urn:x}meta", "{urn:x}keep",
+)
+_CLASSES = ("main", "ads", "x promo", "sidebar-wide", "content box")
+
+
+@st.composite
+def flagship_node(draw, depth=0):
+    """Random DOMs over the tags/classes the flagship rules actually
+    dispatch on — including namespaced tags and junk classes."""
+    attrib = {}
+    if draw(st.booleans()):
+        attrib["class"] = draw(st.sampled_from(_CLASSES))
+    if draw(st.booleans()):
+        attrib["id"] = draw(st.text(string.ascii_lowercase, min_size=1, max_size=4))
+    node = Node(draw(st.sampled_from(_FLAGSHIP_TAGS)), attrib, draw(texts))
+    if depth < 4:
+        for child in draw(st.lists(flagship_node(depth=depth + 1), max_size=3)):
+            child.tail = draw(texts)
+            node.append(child)
+    return node
+
+
+@settings(max_examples=250, deadline=None)
+@given(flagship_node())
+def test_fused_main_content_equals_interpreter_on_random_doms(root):
+    from inxs_spark.extract import MAIN_CONTENT, fused_main_content, text_with_spans
+
+    a = fused_main_content(root.deepcopy())
+    b = MAIN_CONTENT(root.deepcopy())
+    assert text_with_spans(a) == text_with_spans(b)
+    assert serialize(a) == serialize(b)
+
+
+def test_fused_main_content_equals_interpreter_on_corpus():
+    """Every synthetic payload kind through both paths, byte-equal."""
+    import inxs_spark.extract as X
+    from inxs_spark.sources import synth
+
+    payloads = [synth.payload(o, t) for o in range(300)
+                for t in range(min(synth.conv_length(o), 6))]
+    assert len(payloads) > 1000
+    try:
+        X.USE_FUSED_MAIN_CONTENT = False
+        want = [X.extract_turn(p) for p in payloads]
+        X.USE_FUSED_MAIN_CONTENT = True
+        got = [X.extract_turn(p) for p in payloads]
+    finally:
+        X.USE_FUSED_MAIN_CONTENT = True
+    assert got == want
