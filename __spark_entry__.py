@@ -482,6 +482,17 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 50-token windows with 10-token overlap,
+    pure JVM (tokenize → sequence → posexplode → slice)."""
+    from inxs_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=50, overlap=10
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quota sampling for corpus curation: the first 5
     documents per language ordered by a content-independent hash —
@@ -751,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_6h_rollup": q_events_6h_rollup,
         "q_shipping_priority": q_shipping_priority,
         "q_order_price_percentiles": q_order_price_percentiles,
+        "q_doc_chunks": q_doc_chunks,
         "q_embedding_near_dup_exact": q_embedding_near_dup_exact,
         "q_lang_quota_sample": q_lang_quota_sample,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -1030,6 +1042,25 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_doc_chunks": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, greatest(len(toks) - 10, 1), 40))
+                           AS start
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY start
+                   ) - 1 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(toks, start, start + 49), ' ')
+                       AS chunk_text,
+                   CAST(least(len(toks) - start + 1, 50) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM s ORDER BY doc_id, chunk_idx
         """,
         "q_embedding_near_dup_exact": """
             WITH e AS (

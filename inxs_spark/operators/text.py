@@ -112,3 +112,50 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             F.substring(F.col(text_col), 1, 16),
         ).alias("fp_block"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-data chunking op. Pure JVM: tokenize → sequence of chunk
+    starts → explode → slice+join. One narrow pass, no shuffle, no
+    Python; at 100 TB this pipelines inside the scan stage.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens); stride =
+    chunk_tokens - overlap; the last window may be shorter but is never
+    empty; documents shorter than one window yield exactly one chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # chunk start positions (1-based for slice): 1, 1+stride, ... while
+    # start <= max(n - overlap, 1) — guarantees the tail tokens appear
+    # without emitting a chunk fully contained in the previous one
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice("__toks", F.col("__start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("__start") + 1, F.lit(chunk_tokens)
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )

@@ -455,3 +455,41 @@ class TestMultimodalReal:
         assert png_decode(png_encode(px))[3] == px
         sr, ch, got = wav_decode(wav_encode([0, 100, -100, 32000], 8000))
         assert (sr, ch, got) == (8000, 1, [0, 100, -100, 32000])
+
+
+class TestChunking:
+    def test_chunk_windows_and_overlap(self, spark):
+        from inxs_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(12))), (2, "a b"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        got = [
+            (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+            for r in chunk_documents(df, chunk_tokens=5, overlap=2)
+            .orderBy("doc_id", "chunk_idx").collect()
+        ]
+        assert got == [
+            (1, 0, "t0 t1 t2 t3 t4", 5),
+            (1, 1, "t3 t4 t5 t6 t7", 5),
+            (1, 2, "t6 t7 t8 t9 t10", 5),
+            (1, 3, "t9 t10 t11", 3),   # shorter tail, never empty
+            (2, 0, "a b", 2),          # short docs -> exactly one chunk
+            (3, 0, "solo", 1),
+        ]
+
+    def test_chunking_is_jvm_side(self, spark):
+        from inxs_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan, plan
+
+    def test_bad_overlap_rejected(self, spark):
+        import pytest as _pytest
+        from inxs_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=5, overlap=5)
