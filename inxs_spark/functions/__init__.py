@@ -13,11 +13,11 @@ from ..operators.relational import (  # noqa: F401
     time_bucket,
 )
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
-from ..operators.text import bpe_ish_tokens, tokens  # noqa: F401
+from ..operators.text import bpe_ish_tokens, chunk_documents, tokens  # noqa: F401
 
 __all__ = [
     "shingles", "minhash_signature_expr",
     "cosine", "dot", "norm",
-    "tokens", "bpe_ish_tokens",
+    "tokens", "bpe_ish_tokens", "chunk_documents",
     "asof_join", "range_band_join", "time_bucket",
 ]
