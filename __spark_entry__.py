@@ -482,6 +482,26 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-1-hour moving average of
+    event value (event-time range frame, not row frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+            F.count("*").over(w).cast("long").alias("n_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: 50-token windows with 10-token overlap,
     pure JVM (tokenize → sequence → posexplode → slice)."""
@@ -762,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_6h_rollup": q_events_6h_rollup,
         "q_shipping_priority": q_shipping_priority,
         "q_order_price_percentiles": q_order_price_percentiles,
+        "q_events_moving_avg": q_events_moving_avg,
         "q_doc_chunks": q_doc_chunks,
         "q_embedding_near_dup_exact": q_embedding_near_dup_exact,
         "q_lang_quota_sample": q_lang_quota_sample,
@@ -1042,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 4) AS avg_1h,
+                   count(*) OVER w AS n_1h
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY event_id
         """,
         "q_doc_chunks": """
             WITH t AS (
