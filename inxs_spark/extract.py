@@ -257,10 +257,14 @@ def extract_turn(
     - parse failure            → (None, [], 'parse_error')
     - oversized payload        → (None, [], 'payload_too_large')
     """
-    if payload is None or payload.strip() == "":
+    if payload is None:
         return "", [], None
     if len(payload) > MAX_PAYLOAD_CHARS:
+        # size gate BEFORE the strip: .strip() on a pathological row
+        # would allocate another multi-MB string first
         return None, [], "payload_too_large"
+    if payload.strip() == "":
+        return "", [], None
     # every pathological payload must degrade to a `failure` value —
     # an escaping exception would kill the whole Arrow batch / Spark
     # task (observed: RecursionError on ~2000-deep nesting)

@@ -134,10 +134,14 @@ def density_extract_turn(
     """Per-turn heuristic extraction — same contract as
     :func:`inxs_spark.extract.extract_turn`, pluggable into the same
     mapInArrow pipeline via ``extract_df(..., extract_fn=...)``."""
-    if payload is None or payload.strip() == "":
+    if payload is None:
         return "", [], None
     if len(payload) > MAX_PAYLOAD_CHARS:
+        # size gate BEFORE the strip: .strip() on a pathological row
+        # would allocate another multi-MB string first
         return None, [], "payload_too_large"
+    if payload.strip() == "":
+        return "", [], None
     try:
         root, kind = parse_payload(payload)
         if root is None:
