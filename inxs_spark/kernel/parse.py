@@ -172,15 +172,6 @@ class _TreeBuilder(HTMLParser):
                 return
 
 
-def _lowercase_tags(node: Node) -> Node:
-    node.tag = node.tag.lower()
-    if node.attrib:
-        node.attrib = {k.lower(): v for k, v in node.attrib.items()}
-    for child in node.children:
-        _lowercase_tags(child)
-    return node
-
-
 def parse_html(payload: str) -> Node:
     # fast path: much real-world (and most synthetic) HTML is well-
     # formed XML — the C-accelerated ElementTree parse is ~3x faster
