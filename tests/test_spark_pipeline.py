@@ -255,3 +255,38 @@ def test_every_contract_query_analyzes(spark):
     assert not failures, failures
     # every oracle key must have a matching query
     assert set(oracles) <= set(E.queries())
+
+
+def test_custom_transformation_through_pipeline(spark, tiny_transcripts):
+    """User rule-sets (not the fused preset) must run inside the Arrow
+    UDF — including a transformation whose compiled-invoker caches are
+    already WARM from local use (cloudpickle must carry the closures)."""
+    from inxs_spark.kernel import Ref, Rule, Transformation, lib
+    from inxs_spark.kernel.parse import parse_payload
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    custom = Transformation(
+        [
+            Rule("nav", (lib.append("trash", Ref("element")),)),
+            Rule("footer", (lib.append("trash", Ref("element")),)),
+        ],
+        lib.remove_elements("trash"),
+        name="custom-nav-footer-only",
+        copy=False,
+        result_object="tree",
+    )
+    # warm the caches locally BEFORE shipping to executors
+    root, _ = parse_payload("<body><nav>m</nav><p>keep</p></body>")
+    assert custom(root).full_text() == "keep"
+
+    df = spark.read.parquet(tiny_transcripts).limit(300)
+    rows = extract_df(df, transformation=custom).collect()
+    assert rows
+    # serial comparison with the same (already warm) transformation
+    import inxs_spark.extract as X
+    for r in rows[:100]:
+        payload = df.filter(
+            (df.conv_id == r.conv_id) & (df.turn_idx == r.turn_idx)
+        ).collect()[0].text
+        text, _s, fail = X.extract_turn(payload, custom)
+        assert (r.extracted_text, r.failure) == (text, fail)
