@@ -290,3 +290,33 @@ def test_custom_transformation_through_pipeline(spark, tiny_transcripts):
         ).collect()[0].text
         text, _s, fail = X.extract_turn(payload, custom)
         assert (r.extracted_text, r.failure) == (text, fail)
+
+
+def test_transform_df_on_error_raise(spark):
+    from inxs_spark.kernel import Rule, Transformation, lib
+    from inxs_spark.plans.transform_pipeline import transform_df
+
+    t = Transformation(
+        Rule("tr", (lib.get_text, lib.append("rows"))),
+        result_object="context.rows",
+    )
+    df = spark.createDataFrame(
+        [("c1", 0, "<table><tr>x</tr></table>"), ("c1", 1, "<doc><broken")],
+        "conv_id string, turn_idx int, text string",
+    )
+    # skip (default): the broken payload just disappears
+    ok = transform_df(
+        df, t, result_schema="cell string",
+        result_fn=lambda rows, _r: [{"cell": str(r)} for r in (rows or [])],
+    ).collect()
+    assert len(ok) == 1
+    # raise: the same input fails the job
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        transform_df(
+            df, t, result_schema="cell string",
+            result_fn=lambda rows, _r: [{"cell": str(r)} for r in (rows or [])],
+            on_error="raise",
+        ).collect()
