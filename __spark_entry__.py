@@ -563,12 +563,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries — not SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
 
+def _hashable(df: DataFrame) -> DataFrame:
+    """Serialize array/struct/map columns to JSON strings (plus a size
+    column for arrays) so the driver's pandas canonicalizer can sort
+    and hash the frame — round-1 recorded `unhashable type: 'list'`
+    for every query returning a nested column."""
+    cols = []
+    for field in df.schema.fields:
+        kind = field.dataType.typeName()
+        if kind == "array":
+            cols.append(F.size(field.name).cast("long").alias(f"n_{field.name}"))
+            cols.append(F.to_json(field.name).alias(f"{field.name}_json"))
+        elif kind in ("struct", "map"):
+            cols.append(F.to_json(field.name).alias(f"{field.name}_json"))
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)
+
+
 def x_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content extraction (kernel inside mapInArrow) — the rules
     engine itself cannot be expressed in ANSI SQL."""
     from inxs_spark.plans.extract_pipeline import extract_df
 
-    return extract_df(_transcripts(spark, sf_dir))
+    return _hashable(extract_df(_transcripts(spark, sf_dir)))
 
 
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +610,7 @@ def x_extract_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (the 10^12-turn template-heavy-corpus lever)."""
     from inxs_spark.plans.extract_pipeline import extract_df_deduped
 
-    return extract_df_deduped(_transcripts(spark, sf_dir))
+    return _hashable(extract_df_deduped(_transcripts(spark, sf_dir)))
 
 
 def x_extract_failure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,8 +725,8 @@ def x_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.heuristics import density_extract_turn
     from inxs_spark.plans.extract_pipeline import extract_df
 
-    return extract_df(
-        _transcripts(spark, sf_dir), row_fn=density_extract_turn
+    return _hashable(
+        extract_df(_transcripts(spark, sf_dir), row_fn=density_extract_turn)
     )
 
 
@@ -729,14 +747,16 @@ def x_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="table-extraction",
         result_object="context.rows",
     )
-    return transform_df(
-        _transcripts(spark, sf_dir),
-        t,
-        result_schema="row_idx int, cells array<string>",
-        result_fn=lambda rows, _root: [
-            {"row_idx": i, "cells": list(r)} for i, r in enumerate(rows or [])
-        ],
-    ).orderBy("conv_id", "turn_idx", "row_idx")
+    return _hashable(
+        transform_df(
+            _transcripts(spark, sf_dir),
+            t,
+            result_schema="row_idx int, cells array<string>",
+            result_fn=lambda rows, _root: [
+                {"row_idx": i, "cells": list(r)} for i, r in enumerate(rows or [])
+            ],
+        ).orderBy("conv_id", "turn_idx", "row_idx")
+    )
 
 
 def x_pdf_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,13 +764,15 @@ def x_pdf_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary pdf → (page, block) rows → body text in reading order."""
     from inxs_spark.operators.pdf import extract_pdf_text, parse_layout, synth_pdfs
 
-    return extract_pdf_text(parse_layout(synth_pdfs(spark, 64))).orderBy("doc_id")
+    return _hashable(
+        extract_pdf_text(parse_layout(synth_pdfs(spark, 64))).orderBy("doc_id")
+    )
 
 
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 256))
+    return _hashable(extract_features(synth_media(spark, 256)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -987,7 +1009,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   sum(new_session) + 1 AS n_sessions,
+                   -- CAST: DuckDB sums to HUGEINT which lands in pandas as
+                   -- float64 and hash-mismatches Spark's bigint (round-1 FAIL)
+                   CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
