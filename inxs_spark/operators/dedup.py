@@ -318,21 +318,48 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                      text_col: str = "text", max_hamming: int = 3,
+                      n_blocks: int | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
-    blocking: with 4 16-bit blocks, hamming ≤ 3 guarantees at least one
-    identical block — candidates share a (block_idx, block_value) key;
-    verification is JVM-side bit_count(xor)."""
+    blocking over ``n_blocks`` disjoint bit ranges: two signatures
+    within hamming d share at least one identical block iff
+    n_blocks > d, so the default derives n_blocks = max_hamming + 1
+    (round-1 used a fixed 4 blocks, silently losing recall above
+    hamming 3). Candidates share a (block_idx, block_value) key;
+    verification is JVM-side bit_count(xor).
+
+    Scale note: narrower blocks (64 / n_blocks bits) collide more on
+    random data — candidate volume grows ~ n_blocks * n^2 / 2^width
+    per key-space. That is the price of guaranteed recall at higher
+    hamming radii; callers wanting a cheaper approximate search can
+    pass a smaller n_blocks explicitly (recall then guaranteed only
+    to n_blocks - 1)."""
     sigs = simhash(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    return simhash_pairs_from_sigs(sigs, max_hamming, n_blocks)
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int,
+                            n_blocks: int | None = None) -> DataFrame:
+    """Blocked pair search over precomputed (id, simhash) rows —
+    factored out so recall can be unit-tested on planted signatures."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
     blocks = sigs.select(
         "id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("blk"),
-                    F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    F.shiftrightunsigned("simhash", offsets[b])
+                    .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                    .alias("val"),
                 )
-                for b in range(4)
+                for b in range(n_blocks)
             ])
         ).alias("bv"),
     ).select("id", "simhash", F.col("bv.blk"), F.col("bv.val"))

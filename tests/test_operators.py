@@ -75,6 +75,38 @@ class TestDedup:
 
         assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
 
+    def test_simhash_blocking_recall_at_max_hamming(self, spark):
+        """Pigeonhole contract: pairs at hamming EXACTLY max_hamming,
+        with differing bits spread so that every 16-bit quarter differs
+        (the worst case that round 1's fixed 4-block scheme silently
+        missed at max_hamming > 3), must all be found."""
+        from inxs_spark.operators.dedup import simhash_pairs_from_sigs
+
+        max_h = 8
+        # one differing bit per octet: every 16-bit block has 2 diffs,
+        # but with n_blocks = 9 at least one block is untouched
+        diff = 0
+        for b in range(8):
+            diff |= 1 << (8 * b)
+        bases = [0, 0x5A5A5A5A5A5A5A5A, 0x0123456789ABCDEF]
+        rows, expect = [], set()
+        for i, base in enumerate(bases):
+            a_id, b_id = 2 * i, 2 * i + 1
+
+            def signed(x):
+                return x - (1 << 64) if x >= 1 << 63 else x
+
+            rows += [(a_id, signed(base)), (b_id, signed(base ^ diff))]
+            expect.add((a_id, b_id))
+        sigs = spark.createDataFrame(rows, "id long, simhash long")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_pairs_from_sigs(sigs, max_hamming=max_h).collect()}
+        for pair in expect:
+            assert got.get(pair) == max_h, (pair, got)
+        # guard: the recall contract is enforced, not silently reduced
+        with pytest.raises(ValueError):
+            simhash_pairs_from_sigs(sigs, max_hamming=3, n_blocks=0).collect()
+
     def test_minhash_bucket_cap_bounds_pairs(self, spark):
         from inxs_spark.operators.dedup import minhash_lsh_candidates
 
