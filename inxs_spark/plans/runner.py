@@ -67,8 +67,7 @@ def _write_manifest(out_root: str, record: dict) -> None:
     os.replace(tmp, path)
 
 
-def completed_chunks(spark: SparkSession, out_root: str) -> DataFrame:
-    """Manifest table of completed chunks (chunk_id, rows_out, ...)."""
+def _manifest_records(out_root: str) -> list[dict]:
     manifest_dir = os.path.join(out_root, "manifests")
     records = []
     if os.path.isdir(manifest_dir):
@@ -77,11 +76,57 @@ def completed_chunks(spark: SparkSession, out_root: str) -> DataFrame:
                 with open(os.path.join(manifest_dir, name)) as fh:
                     rec = json.load(fh)
                 if rec.get("status") == "completed":
-                    records.append((rec["chunk_id"], rec["rows_out"],
-                                    rec["input_snapshot_id"]))
+                    records.append(rec)
+    return records
+
+
+def completed_chunks(spark: SparkSession, out_root: str) -> DataFrame:
+    """Manifest table of completed chunks (chunk_id, rows_out, ...)."""
+    records = [
+        (rec["chunk_id"], rec["rows_out"], rec["input_snapshot_id"])
+        for rec in _manifest_records(out_root)
+    ]
     return spark.createDataFrame(
         records, "chunk_id int, rows_out long, input_snapshot_id string"
     )
+
+
+class ResumeMismatch(RuntimeError):
+    """A completed manifest was built from a DIFFERENT input snapshot,
+    chunking, or rule set than the current run — silently reusing it
+    would miss or duplicate rows (or mix rule versions) in the output."""
+
+
+def validate_manifests(out_root: str, snapshot: str, n_chunks: int,
+                       rule_hash: str) -> None:
+    """Resume safety gate: every completed manifest must agree with the
+    current run's input snapshot id, chunk count, and rule-set hash.
+    Manifests from round-1 runs carry no n_chunks field; they fail the
+    check too (their chunking cannot be proven compatible)."""
+    problems = []
+    for rec in _manifest_records(out_root):
+        cid = rec.get("chunk_id")
+        if rec.get("input_snapshot_id") != snapshot:
+            problems.append(
+                f"chunk {cid}: input_snapshot_id "
+                f"{rec.get('input_snapshot_id')!r} != current {snapshot!r}"
+            )
+        if rec.get("n_chunks") != n_chunks:
+            problems.append(
+                f"chunk {cid}: n_chunks {rec.get('n_chunks')!r} != "
+                f"current {n_chunks}"
+            )
+        if rec.get("rule_set_hash") != rule_hash:
+            problems.append(
+                f"chunk {cid}: rule_set_hash {rec.get('rule_set_hash')!r} "
+                f"!= current {rule_hash!r}"
+            )
+    if problems:
+        raise ResumeMismatch(
+            "completed manifests are incompatible with this run (use a "
+            "fresh out_root, or delete the stale manifests + chunk data "
+            "to recompute): " + "; ".join(problems)
+        )
 
 
 def pending_chunks(spark: SparkSession, out_root: str, n_chunks: int) -> list[int]:
@@ -112,6 +157,7 @@ def run_extraction(
     base = spark.read.parquet(input_path)
     file_groups = _chunk_files(base, chunks)
     n_chunks = len(file_groups)
+    validate_manifests(out_root, snapshot, n_chunks, rule_hash)
     todo = pending_chunks(spark, out_root, n_chunks)
     metrics_dir = os.path.join(out_root, "metrics")
     t0 = time.monotonic()
@@ -130,13 +176,17 @@ def run_extraction(
             input_snapshot_id=snapshot,
         )
         extracted.write.mode("overwrite").parquet(out_path)
-        rows_out = spark.read.parquet(out_path).count()
+        # rows_out from the per-partition lineage metrics the UDF just
+        # wrote — round 1 re-read the freshly written chunk purely to
+        # count it, doubling chunk read IO at scale
+        rows_out = _chunk_rows_out(metrics_dir, chunk_id, run_id)
         rows_total += rows_out
         _write_manifest(
             out_root,
             {
                 "run_id": run_id,
                 "chunk_id": chunk_id,
+                "n_chunks": n_chunks,
                 "status": "completed",
                 "rows_out": rows_out,
                 "input_snapshot_id": snapshot,
@@ -157,6 +207,25 @@ def run_extraction(
         "wall_s": round(time.monotonic() - t0, 3),
         "output": os.path.join(out_root, "extracted"),
     }
+
+
+def _chunk_rows_out(metrics_dir: str, chunk_id: int, run_id: str) -> int:
+    """Sum rows_out over THIS run's partition metrics for the chunk.
+    Filenames are keyed (chunk, partition) and written atomically, so
+    task retries overwrite idempotently; filtering on run_id discards
+    leftovers from a previous failed attempt with different
+    partitioning."""
+    if not os.path.isdir(metrics_dir):
+        return 0
+    total = 0
+    prefix = f"c{chunk_id:04d}-"
+    for name in os.listdir(metrics_dir):
+        if name.startswith(prefix) and name.endswith(".json"):
+            with open(os.path.join(metrics_dir, name)) as fh:
+                rec = json.load(fh)
+            if rec.get("run_id") == run_id:
+                total += rec.get("rows_out", 0)
+    return total
 
 
 def compact_metrics(spark: SparkSession, out_root: str) -> None:

@@ -124,6 +124,25 @@ def test_resume_recomputes_only_missing_chunks(spark, tiny_transcripts, tmp_out)
     assert resumed == full  # exact resume (BASELINE.json:14)
 
 
+def test_resume_rejects_incompatible_manifests(spark, tiny_transcripts, tmp_out):
+    """Rerunning against completed manifests built with a different
+    chunk count or rule set must fail loudly, not silently reuse
+    manifests covering different file groups (round-2 resume gate)."""
+    from inxs_spark.kernel import Rule, Transformation, lib
+    from inxs_spark.plans.runner import ResumeMismatch
+
+    run_extraction(spark, tiny_transcripts, tmp_out, chunks=4, num_partitions=2)
+    with pytest.raises(ResumeMismatch, match="n_chunks"):
+        run_extraction(spark, tiny_transcripts, tmp_out, chunks=2,
+                       num_partitions=2)
+    other_rules = Transformation(
+        Rule("tr", (lib.get_text, lib.append("rows"))), name="other",
+    )
+    with pytest.raises(ResumeMismatch, match="rule_set_hash"):
+        run_extraction(spark, tiny_transcripts, tmp_out, chunks=4,
+                       num_partitions=2, transformation=other_rules)
+
+
 def test_lineage_metrics(spark, tiny_transcripts, tmp_out):
     summary = run_extraction(
         spark, tiny_transcripts, tmp_out, chunks=2, num_partitions=4
