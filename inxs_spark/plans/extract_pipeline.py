@@ -248,7 +248,11 @@ def extract_df_deduped(
               └─ distinct(fp, text) → repartition(fp) → mapInArrow
                    └────────── join on fp (both sides shuffle on fp)
 
-    NULL texts hash to a sentinel so they join like any other payload.
+    The key is a 128-bit md5 (32-char hex, 2^-128 collision odds —
+    round 1 used a single xxhash64, where a collision is statistically
+    EXPECTED at the 10^12-turn scale this targets and would assign one
+    payload's results to another's rows). NULL texts map to the
+    sentinel 'NULL', which can never collide with a 32-char digest.
     At 100 TB: AQE handles fp skew (the join IS a join, unlike the
     UDF fan-out in extract_df, so AQE's skew-join split applies); a
     super-hot fingerprint (billions of identical turns) is exactly the
@@ -261,7 +265,7 @@ def extract_df_deduped(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             3 * cores,
         )
-    fp = F.coalesce(F.xxhash64("text"), F.lit(0)).alias("fp")
+    fp = F.coalesce(F.md5("text"), F.lit("NULL")).alias("fp")
     keyed = df.select("conv_id", "turn_idx", F.col("text"), fp)
     distinct = (
         keyed.select("fp", "text")
@@ -296,7 +300,7 @@ def extract_df_deduped(
 
     extracted_distinct = distinct.mapInArrow(
         extract_keep_fp,
-        "fp long, extracted_text string, "
+        "fp string, extracted_text string, "
         "spans array<struct<start:int,end:int,path:string>>, failure string",
     )
     return (

@@ -194,15 +194,19 @@ def test_deduped_pipeline_on_duplicate_heavy_input(spark):
     rows = [("c%03d" % (i % 10), i // 10, "<p>same <b>body</b></p>")
             for i in range(500)]
     rows += [("unique", 0, "<article><nav>x</nav><p>only once</p></article>"),
-             ("empty", 0, None)]
+             ("empty", 0, None),
+             # literal 'NULL' text must NOT collide with the null-text
+             # sentinel (sentinel is 4 chars, md5 keys are 32 — disjoint)
+             ("nulltext", 0, "NULL")]
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, text string")
     got = {(r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
            for r in extract_df_deduped(df).collect()}
-    assert len(got) == 502
+    assert len(got) == 503
     assert got[("c000", 0)] == ("same body", None)
     assert got[("unique", 0)] == ("only once", None)
     assert got[("empty", 0)] == ("", None)
+    assert got[("nulltext", 0)] == ("NULL", None)
 
 
 def test_contract_deduped_equals_plain(spark, tiny_transcripts):
