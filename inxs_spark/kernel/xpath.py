@@ -63,6 +63,22 @@ def _descendants_or_self(node: Node) -> List[Node]:
     return out
 
 
+def _descendants(node: Node) -> List[Node]:
+    """Strict descendants (context node excluded). XPath's ``X//Y`` is
+    ``X/descendant-or-self::node()/child::Y`` — Y is always strictly
+    below X, so ``.//a`` from a context node tagged 'a' must NOT return
+    the context itself (matches ElementTree/lxml findall; round-1
+    included self, wrongly matching the root)."""
+    out: List[Node] = []
+    stack = list(reversed(node.children))
+    while stack:
+        current = stack.pop()
+        out.append(current)
+        if current.children:
+            stack.extend(reversed(current.children))
+    return out
+
+
 def _name_matches(node: Node, name: str, nsmap: Optional[dict]) -> bool:
     if name == "*":
         return True
@@ -433,9 +449,11 @@ def xpath_all(
             current = matched
             remaining = steps[1:]
         else:
-            remaining = steps
-            current = [start]
-            return _walk(current, remaining, nsmap)
+            # absolute '//a': descendant-or-self from the DOCUMENT node,
+            # whose children include the root element — so the root
+            # itself is a candidate (lxml: root.xpath('//a') matches a
+            # root tagged 'a'); relative './/' below never includes self
+            return _walk([start], steps, nsmap, include_self_first=True)
         return _walk(current, remaining, nsmap)
     return _walk([context], list(steps), nsmap)
 
@@ -461,11 +479,17 @@ def _apply_predicates(step: _Step, candidates: List[Node]) -> List[Node]:
     return candidates
 
 
-def _walk(current: List[Node], steps: Sequence[_Step], nsmap: Optional[dict]) -> List[Node]:
-    for step in steps:
+def _walk(current: List[Node], steps: Sequence[_Step], nsmap: Optional[dict],
+          include_self_first: bool = False) -> List[Node]:
+    for step_idx, step in enumerate(steps):
         nxt: list[Node] = []
         seen: set[int] = set()
         positional = any(p.uses_position for p in step.predicates)
+        pool = (
+            _descendants_or_self
+            if include_self_first and step_idx == 0
+            else _descendants
+        )
         for node in current:
             if step.name == ".":
                 matched = [node]
@@ -474,7 +498,7 @@ def _walk(current: List[Node], steps: Sequence[_Step], nsmap: Optional[dict]) ->
             elif step.descendant:
                 candidates = [
                     d
-                    for d in _descendants_or_self(node)
+                    for d in pool(node)
                     if _name_matches(d, step.name, nsmap)
                 ]
                 if positional and step.predicates:

@@ -244,6 +244,22 @@ class TestXPathSubset:
         (c,) = xpath_all(root, ".//c")
         assert xpath_all(c, "..")[0].tag == "b"
 
+    def test_relative_descendant_excludes_context(self):
+        """ElementTree/lxml parity: './/a' from a context tagged 'a'
+        returns descendants only; absolute '//a' includes the root
+        (descendant-or-self from the document node)."""
+        import xml.etree.ElementTree as ET
+
+        for xml, expr in [
+            ("<a><b><a/></b></a>", ".//a"),
+            ("<a><a><a/></a></a>", ".//a"),
+            ("<r><x><y><x/></y></x></r>", ".//x//x"),
+        ]:
+            root = X(xml)
+            assert len(xpath_all(root, expr)) == len(ET.fromstring(xml).findall(expr))
+        root = X("<a><b><a/></b></a>")
+        assert len(xpath_all(root, "//a", root=root)) == 2
+
     def test_unsupported_raises(self):
         with pytest.raises(XPathError):
             xpath_all(X("<a/>"), ".//a[name()='q']")
