@@ -10,9 +10,14 @@ stream parity is structural, not re-implemented. (A direct
 within-microbatch sort, which Structured Streaming forbids outside
 foreachBatch.)
 
-In production the source is an Iceberg/Kafka stream of transcript
-appends; here the file source stands in (same exactly-once file-sink
-semantics via the checkpoint dir).
+Sink semantics: ``foreachBatch`` gives at-least-once REPLAY of a
+microbatch after failure, so a blind ``mode('append')`` write would
+duplicate rows. Each microbatch therefore overwrites its own
+batchId-deterministic partition directory (``batch_id=<id>``) —
+replaying batch N rewrites exactly the same directory, making the
+file sink effectively exactly-once. In production the same pattern is
+an Iceberg ``overwritePartitions`` (or REPLACE WHERE batch_id = N)
+transactional commit.
 """
 
 from __future__ import annotations
@@ -44,11 +49,7 @@ def streaming_extract(
     checkpoint = os.path.join(out_root, "checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            extract_df(batch_df, num_partitions=num_partitions)
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        _write_microbatch(batch_df, out_path, batch_id, num_partitions)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -57,6 +58,22 @@ def streaming_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _write_microbatch(
+    batch_df: DataFrame,
+    out_path: str,
+    batch_id: int,
+    num_partitions: Optional[int] = None,
+) -> None:
+    """Idempotent microbatch commit: overwrite the batch's own
+    partition directory so a replayed batch rewrites, never appends
+    (factored out so replay idempotency is unit-testable)."""
+    (
+        extract_df(batch_df, num_partitions=num_partitions)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+    )
 
 
 def streaming_turn_rates(

@@ -22,6 +22,21 @@ def test_streaming_extract_matches_batch(spark, tiny_transcripts, tmp_out):
     assert s == b  # batch/stream structural parity
 
 
+def test_streaming_microbatch_replay_is_idempotent(spark, tiny_transcripts, tmp_out):
+    """foreachBatch replays a microbatch after failure (at-least-once);
+    the sink must absorb the replay without duplicating rows."""
+    from inxs_spark.streaming.extract_stream import _write_microbatch
+
+    out_path = os.path.join(tmp_out, "stream_out")
+    batch = spark.read.parquet(tiny_transcripts).limit(200)
+    _write_microbatch(batch, out_path, batch_id=7, num_partitions=2)
+    once = spark.read.parquet(out_path).count()
+    _write_microbatch(batch, out_path, batch_id=7, num_partitions=2)  # replay
+    assert spark.read.parquet(out_path).count() == once == 200
+    _write_microbatch(batch, out_path, batch_id=8, num_partitions=2)  # next batch
+    assert spark.read.parquet(out_path).count() == 400
+
+
 def test_streaming_windowed_counts(spark, tiny_transcripts, tmp_out):
     from inxs_spark.streaming.extract_stream import streaming_turn_rates
 
