@@ -24,7 +24,7 @@ from typing import Optional
 
 from .kernel import lib
 from .kernel.conditions import Any
-from .kernel.nodes import Node
+from .kernel.nodes import COMMENT_TAG, PI_TAG, Node
 from .kernel.parse import ParseError, parse_payload
 from .kernel.transformation import Ref, Rule, Transformation
 
@@ -231,7 +231,9 @@ def text_with_spans(root: Node) -> tuple[str, list[tuple[int, int, str]]]:
                 spans.append((start, offset, path))
             continue
         text = node.text
-        if text:
+        # comment/PI content is not body text; their TAILS are (the
+        # is_tail branch above handles those like any other node)
+        if text and node.tag not in (COMMENT_TAG, PI_TAG):
             start = offset
             offset += len(text)
             parts.append(text)

@@ -65,7 +65,10 @@ class MatchesTag(Condition):
 
 class AnyElement(Condition):
     def __call__(self, element: Node, state: DocumentState) -> bool:
-        return True
+        # '*' is a NAME test: elements only — comment/PI/fragment nodes
+        # are traversed but not matched (lxml iter('*') parity); target
+        # them explicitly with the literal '#comment' / '#pi' tag
+        return not element.tag.startswith("#")
 
     def describe(self) -> str:
         return "*"

@@ -19,6 +19,25 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
+#: Non-element node tags (lxml keeps comment/PI nodes in the tree with
+#: full text/tail semantics; round 1 dropped them at parse time, so a
+#: comment's own content vanished and the tree shape diverged).
+#: Contract: these nodes ARE part of the tree (serialized, tails are
+#: body text), are VISITED by traversals (lxml .iter() parity), but
+#: never match the '*' condition or XPath name tests (lxml name-test
+#: parity — '*' selects elements only). A rule can still target them
+#: explicitly via the literal tag string ('#comment' / '#pi').
+COMMENT_TAG = "#comment"
+PI_TAG = "#pi"
+FRAGMENT_TAG = "#fragment"
+_NON_TEXT_TAGS = (COMMENT_TAG, PI_TAG)
+
+
+def is_element(node: "Node") -> bool:
+    """True for real elements; False for comment/PI/fragment nodes."""
+    return not node.tag.startswith("#")
+
+
 #: Global structural-mutation version, bumped whenever an element is
 #: DETACHED from a tree (Node.remove, lib._remove_one). The executor
 #: snapshots it at walk start: while unchanged, every materialized node
@@ -97,6 +116,8 @@ class Node:
     def itertext(self) -> Iterator[str]:
         """Document-order text: self.text, then each child's subtree
         text followed by that child's tail (ElementTree semantics).
+        Comment/PI CONTENT is not document text, but their tails are
+        (readability semantics — '<!-- c -->tail' keeps 'tail').
         Iterative — deep documents must not recurse."""
         stack: list[tuple[bool, "Node"]] = [(False, self)]
         while stack:
@@ -105,7 +126,7 @@ class Node:
                 if node.tail:
                     yield node.tail
                 continue
-            if node.text:
+            if node.text and node.tag not in _NON_TEXT_TAGS:
                 yield node.text
             for child in reversed(node.children):
                 stack.append((True, child))

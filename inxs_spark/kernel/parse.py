@@ -24,7 +24,7 @@ from html import escape
 from html.parser import HTMLParser
 from typing import Optional
 
-from .nodes import Node
+from .nodes import COMMENT_TAG, PI_TAG, Node
 
 
 class ParseError(Exception):
@@ -40,6 +40,15 @@ def _from_etree(el: ET.Element, lower: bool = False) -> Node:
     # frame per element — hot path)
     def mk(src: ET.Element) -> Node:
         tag = src.tag
+        if not isinstance(tag, str):
+            # TreeBuilder(insert_comments/pis) emits nodes whose tag is
+            # the ET.Comment / ET.ProcessingInstruction function
+            if tag is ET.Comment:
+                return Node(COMMENT_TAG, {}, src.text, src.tail)
+            # ET folds a PI into text='target data'; split back so the
+            # node mirrors lxml's .target/.text model
+            target, _, data = (src.text or "").partition(" ")
+            return Node(PI_TAG, {"target": target}, data, src.tail)
         attrib = src.attrib
         if lower:
             tag = tag.lower()
@@ -62,9 +71,17 @@ def _from_etree(el: ET.Element, lower: bool = False) -> Node:
     return root
 
 
+def _et_parser() -> ET.XMLParser:
+    # comment/PI nodes kept in the tree (lxml tree-shape parity);
+    # parsers are single-use, so build one per parse (cheap C object)
+    return ET.XMLParser(
+        target=ET.TreeBuilder(insert_comments=True, insert_pis=True)
+    )
+
+
 def parse_xml(payload: str) -> Node:
     try:
-        root = ET.fromstring(payload)
+        root = ET.fromstring(payload, parser=_et_parser())
     except ET.ParseError as exc:
         raise ParseError(f"xml parse error: {exc}") from exc
     return _from_etree(root)
@@ -161,6 +178,17 @@ class _TreeBuilder(HTMLParser):
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
         self.stack[-1].append(node)
 
+    def handle_comment(self, data: str) -> None:
+        # comments become tree nodes (never pushed — they have no
+        # children); following text lands on their TAIL via _add_text,
+        # matching the lxml comment-node model
+        self.stack[-1].append(Node(COMMENT_TAG, {}, data))
+
+    def handle_pi(self, data: str) -> None:
+        target, _, rest = data.partition(" ")
+        self.stack[-1].append(Node(PI_TAG, {"target": target.rstrip("?")},
+                                   rest.rstrip("?") or None))
+
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
         if tag in VOID_ELEMENTS:
@@ -179,7 +207,7 @@ def parse_html(payload: str) -> Node:
     # to match HTMLParser semantics; any soup (void elements, implied
     # end tags, unquoted attrs, bare entities) raises and falls back.
     try:
-        return _from_etree(ET.fromstring(payload), lower=True)
+        return _from_etree(ET.fromstring(payload, parser=_et_parser()), lower=True)
     except ET.ParseError:
         pass
     builder = _TreeBuilder()
@@ -255,6 +283,14 @@ def serialize(node: Node, html_mode: bool = False) -> str:
 
 
 def _write(node: Node, out: list[str], html_mode: bool) -> None:
+    if node.tag == COMMENT_TAG:
+        out.append(f"<!--{node.text or ''}-->")
+        return
+    if node.tag == PI_TAG:
+        target = node.attrib.get("target", "")
+        data = node.text or ""
+        out.append(f"<?{target}{' ' + data if data else ''}?>")
+        return
     if node.tag == "#fragment":
         if node.text:
             out.append(escape(node.text, quote=False))

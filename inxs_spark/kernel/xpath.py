@@ -81,7 +81,9 @@ def _descendants(node: Node) -> List[Node]:
 
 def _name_matches(node: Node, name: str, nsmap: Optional[dict]) -> bool:
     if name == "*":
-        return True
+        # name test: elements only (comments/PIs need an explicit
+        # '#comment'/'#pi' literal, matched by the bare-name fallthrough)
+        return not node.tag.startswith("#")
     if name.startswith("{"):
         return node.tag == name
     if ":" in name:

@@ -67,6 +67,43 @@ class TestParsers:
         assert [c.text for c in rows[0].children] == ["a", "b"]
         assert rows[1].children[0].text == "c"
 
+    def test_comment_and_pi_nodes(self):
+        """Comment/PI nodes stay in the tree with lxml tail semantics:
+        content is NOT body text, the tail IS; serialization round-trips;
+        '*' never matches them; the literal tag ('#comment') does."""
+        from inxs_spark.extract import extract_turn
+        from inxs_spark.kernel import Ref, Rule, Transformation, lib
+        from inxs_spark.kernel.nodes import COMMENT_TAG, PI_TAG
+        from inxs_spark.kernel.parse import serialize
+        from inxs_spark.kernel.xpath import xpath_all
+
+        # XML path
+        root = X("<a>x<!-- c -->tail<?tgt data?>after</a>")
+        kinds = [c.tag for c in root.children]
+        assert kinds == [COMMENT_TAG, PI_TAG]
+        assert root.children[0].text == " c " and root.children[0].tail == "tail"
+        assert root.children[1].attrib["target"] == "tgt"
+        assert root.full_text() == "xtailafter"
+        assert serialize(root) == "<a>x<!-- c -->tail<?tgt data?>after</a>"
+        # HTML soup path
+        soup = parse_html("<div><p>a<!-- c -->b<br></div>")
+        p = soup.children[0]
+        assert p.children[0].tag == COMMENT_TAG and p.children[0].tail == "b"
+        # extraction: comment content never leaks; tails survive
+        t, s, f = extract_turn("<article><p>a<!-- secret -->tail</p>b</article>")
+        assert f is None and t == "atailb" and "secret" not in t
+        # '*' and xpath name tests skip non-elements
+        root = X("<a><!-- c --><b/></a>")
+        assert [n.tag for n in xpath_all(root, ".//*")] == ["b"]
+        # explicit '#comment' rule strips comments
+        strip = Transformation(
+            Rule(COMMENT_TAG, (lib.append("trash", Ref("element")),)),
+            lib.remove_elements("trash", preserve_tail=True),
+            name="strip-comments", copy=False, result_object="tree",
+        )
+        root = X("<div>x<!-- c -->tail</div>")
+        assert serialize(strip(root)) == "<div>xtail</div>"
+
     def test_sniff(self):
         assert sniff(None) == "empty"
         assert sniff("   \n") == "empty"
