@@ -261,14 +261,22 @@ def parse_payload(payload: str, kind: Optional[str] = None) -> tuple[Optional[No
     """Parse by sniffed kind. Returns (root_or_None, kind).
 
     'empty' and 'text' return (None, kind) — callers handle them
-    without a DOM. XML that fails to parse falls back to the HTML
-    tag-soup parser only when it sniffs html-ish; otherwise raises.
+    without a DOM. A payload sniffed as XML that fails to parse falls
+    back to the tag-soup HTML parser UNLESS it carries an explicit
+    ``<?xml`` declaration (those are real XML and must fail loudly):
+    web-scale soup using tags outside the sniffer's hint list (e.g.
+    ``<select><option>a<option>b``) must still extract.
     """
     k = kind or sniff(payload)
     if k in ("empty", "text"):
         return None, k
     if k == "xml":
-        return parse_xml(payload), k
+        try:
+            return parse_xml(payload), k
+        except ParseError:
+            if _XML_DECL.match(payload):
+                raise
+            return parse_html(payload), "html"
     return parse_html(payload), k
 
 

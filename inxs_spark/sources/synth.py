@@ -145,8 +145,14 @@ def _tool_payload(rnd: random.Random) -> str:
 
 
 def _malformed_payload(rnd: random.Random) -> str:
-    base = f"<doc><para>{_sentence(rnd)}"
-    return base if rnd.random() < 0.5 else f"<doc>&#xZZ;{_sentence(rnd, 2, 3)}</doc>"
+    # half TRUNCATED markup (recovers via the tag-soup fallback — text
+    # still extracted), half declared-XML with an invalid charref
+    # (hard parse_error: explicit <?xml ?> opts out of soup recovery) —
+    # both failure modes exist in real corpora and both paths must
+    # stay exercised
+    if rnd.random() < 0.5:
+        return f"<doc><para>{_sentence(rnd)}"
+    return f'<?xml version="1.0"?><doc>&#xZZ;{_sentence(rnd, 2, 3)}</doc>'
 
 
 _KIND_THRESHOLDS = (

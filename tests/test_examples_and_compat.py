@@ -50,5 +50,5 @@ def test_training_pipeline_example():
     out = proc.stdout.strip().splitlines()[-1]
     # deterministic corpus → deterministic summary line
     assert out == (
-        "documents=9 turns=1982 tokens=38781 avg_tokens/doc=4309.0"
+        "documents=9 turns=2008 tokens=38948 avg_tokens/doc=4327.6"
     ), out

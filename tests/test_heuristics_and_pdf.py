@@ -51,7 +51,11 @@ class TestDensityExtraction:
     def test_edge_inputs(self):
         assert density_extract_turn(None) == ("", [], None)
         assert density_extract_turn("plain words")[0] == "plain words"
-        assert density_extract_turn("<doc><para>oops")[2] == "parse_error"
+        # truncated markup recovers via soup fallback (round-2 contract);
+        # declared XML still hard-fails
+        assert density_extract_turn("<doc><para>oops")[2] is None
+        assert density_extract_turn(
+            '<?xml version="1.0"?><doc>&#xZZ;x</doc>')[2] == "parse_error"
         # deep nesting EXTRACTS now (all walks iterative); the
         # RecursionError → payload_too_deep net remains as last resort
         deep = "<a>" * 3000 + "x" + "</a>" * 3000

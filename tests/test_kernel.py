@@ -104,6 +104,44 @@ class TestParsers:
         root = X("<div>x<!-- c -->tail</div>")
         assert serialize(strip(root)) == "<div>xtail</div>"
 
+    def test_adversarial_tag_soup(self):
+        """Web-soup contract pins (round-2 fixture pass). The engine's
+        guarantee is TEXT-PRESERVATION, not HTML5 tree-identity: every
+        character of author text must survive into full_text()/
+        extraction, while tree shape may diverge from a browser in the
+        documented ways below."""
+        from inxs_spark.extract import extract_turn
+
+        # (payload, required extracted text)
+        cases = [
+            # misnested formatting: stdlib keeps nesting (no HTML5
+            # adoption agency), text intact
+            ("<b><i>bi</b>it</i>pl", "biitpl"),
+            # unclosed table: closed at </table>, tail survives
+            ("<table><tr><td>cell</table>after", "cell\t\nafter"),
+            # foster parenting NOT implemented: loose table text stays
+            # inside the table (a browser would hoist it before) — text
+            # survives either way, which is the extraction contract
+            ("<table>loose<tr><td>c</td></tr></table>", "loosec\t\n"),
+            # stray / unmatched end tags are ignored
+            ("<li>item</li></li><li>two", "itemtwo"),
+            ("<div>x</span>y</div>", "xy"),
+            # nested anchors: stdlib nests (browser would sibling) —
+            # text intact
+            ("<a href=x>l1<a href=y>l2</a>", "l1l2"),
+            # tags outside the sniffer hint list still soup-parse
+            ("<select><option>a<option>b</select>", "ab"),
+            # malformed close tag: '</p three' read as data (stdlib
+            # tokenizer) — no text loss, junk visible
+            ("<p>one<p>two</p three", "onetwo</p three"),
+            # <td> without <tr>
+            ("<table><td>x</table>", "x\t"),
+        ]
+        for payload, want in cases:
+            text, _spans, fail = extract_turn(payload)
+            assert fail is None, (payload, fail)
+            assert text == want, (payload, text, want)
+
     def test_sniff(self):
         assert sniff(None) == "empty"
         assert sniff("   \n") == "empty"
@@ -470,7 +508,13 @@ def test_case9_extract_turn_contract():
     assert extract_turn("  \n") == ("", [], None)
     text, spans, fail = extract_turn("plain")
     assert (text, fail) == ("plain", None) and spans == [(0, 5, "/")]
+    # truncated markup RECOVERS via the tag-soup fallback (round 2:
+    # web-scale soup without html-hint tags must still extract) …
     text, spans, fail = extract_turn("<doc><para>oops")
+    assert (text, fail) == ("oops", None)
+    # … but an explicit <?xml?> declaration opts out of soup recovery:
+    # real XML fails loudly
+    text, spans, fail = extract_turn('<?xml version="1.0"?><doc>&#xZZ;x</doc>')
     assert text is None and fail == "parse_error"
 
 
