@@ -535,7 +535,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     All JVM-side: explode -> two hash aggregations -> broadcast join ->
     window top-k."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs as a broadcast 1-row aggregate instead of a separate
+    # driver-side count() job (round 1 ran one extra full scan)
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -543,12 +545,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "lang",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -598,8 +604,10 @@ def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    # n_planes derived from corpus size (round-1 hardcoded 6 → 64
+    # buckets, which stops pruning beyond ~2k vectors)
     return pairwise_ann_candidates(
-        emb, dim=dim, n_planes=6, min_cos=0.45
+        emb, dim=dim, min_cos=0.45
     ).orderBy("id_a", "id_b")
 
 

@@ -135,6 +135,17 @@ def _make_minhash_udf(num_perm: int, k: int, mode: str):
     return sig_udf
 
 
+def derive_max_bucket(n_rows: int, lo: int = 64, hi: int = 4096) -> int:
+    """Hot-bucket cap from corpus size: ~sqrt(n), clamped. The cap
+    bounds the quadratic pair expansion inside boilerplate-identical
+    buckets (cost per hot bucket ≤ cap²/2 pairs); growing it with
+    sqrt(n) keeps big corpora from silently truncating moderately hot
+    buckets while the hi clamp bounds worst-case task cost."""
+    import math
+
+    return min(max(lo, int(math.isqrt(max(n_rows, 1)))), hi)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -142,7 +153,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_perm: int = 64,
     bands: int = 16,
-    max_bucket: int = 64,
+    max_bucket: int | None = None,
     mode: str = "word",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
@@ -150,11 +161,23 @@ def minhash_lsh_candidates(
     rows-per-band r = num_perm/bands; two docs collide in a band iff
     all r mins agree → P(candidate) ≈ 1-(1-J^r)^bands. Hot buckets
     (boilerplate-identical shingle sets) are capped at ``max_bucket``
-    ids to bound the quadratic expansion — the cap is logged as a
-    dropped-coverage column, not silent (brief: no silent caps).
+    ids to bound the quadratic expansion — ``None`` (default) derives
+    the cap from the corpus size (one count job; logged), and the
+    output surfaces where it binds: ``max_bucket_size`` is the largest
+    bucket the pair met, and ``max_dropped`` how many ids that bucket
+    had to drop (0 = cap never bound for this pair). No silent caps.
     """
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
+    if max_bucket is None:
+        n = df.count()
+        max_bucket = derive_max_bucket(n)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "minhash_lsh_candidates: n=%d -> max_bucket=%d "
+            "(clamp(sqrt(n), 64, 4096))", n, max_bucket,
+        )
     sig_udf = _make_minhash_udf(num_perm, k, mode)
     sig = (
         df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
@@ -192,6 +215,9 @@ def minhash_lsh_candidates(
         .agg(
             F.count("*").cast("long").alias("n_bands"),
             F.max("bucket_size").cast("long").alias("max_bucket_size"),
+            F.greatest(
+                F.max("bucket_size") - F.lit(max_bucket), F.lit(0)
+            ).cast("long").alias("max_dropped"),
         )
     )
     return pairs
@@ -214,6 +240,9 @@ def jaccard_verify(
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # dropped-coverage column (if present) rides through the verify so
+    # downstream consumers see where the hot-bucket cap bound
+    extra = ["max_dropped"] if "max_dropped" in pairs.columns else []
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .withColumn(
@@ -225,7 +254,7 @@ def jaccard_verify(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard", *extra)
     )
 
 

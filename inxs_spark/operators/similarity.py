@@ -15,11 +15,29 @@
 
 from __future__ import annotations
 
+import logging
+import math
 from typing import Optional, Sequence
 
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def derive_n_planes(n_rows: int, target_bucket: int = 32,
+                    lo: int = 4, hi: int = 24) -> int:
+    """Plane count from corpus size: 2^p buckets sized ~target_bucket
+    (p = ceil(log2(n / target_bucket)), clamped to [lo, hi]). Round 1
+    hardcoded 6 planes = 64 buckets, which stops pruning anything
+    beyond ~2k vectors; at 100 TB the bucket count must grow with the
+    corpus or within-bucket work is quadratic in n."""
+    if n_rows <= target_bucket:
+        planes = lo
+    else:
+        planes = math.ceil(math.log2(n_rows / target_bucket))
+    return min(max(planes, lo), hi)
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
@@ -143,7 +161,7 @@ def ann_topk(
 def pairwise_ann_candidates(
     df: DataFrame,
     dim: int,
-    n_planes: int = 12,
+    n_planes: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos: float = 0.9,
@@ -151,7 +169,17 @@ def pairwise_ann_candidates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: same LSH bucket → exact cosine
     ≥ min_cos. One shuffle on the bucket key; quadratic only within
-    buckets (expected size corpus/2^p)."""
+    buckets (expected size corpus/2^p). ``n_planes=None`` (default)
+    derives the plane count from the corpus size (one cheap count job;
+    see :func:`derive_n_planes`) instead of a scale-blind constant."""
+    if n_planes is None:
+        n = df.count()
+        n_planes = derive_n_planes(n)
+        logger.info(
+            "pairwise_ann_candidates: n=%d -> n_planes=%d "
+            "(ceil(log2(n/32)) clamped to [4,24]; 2^p=%d buckets)",
+            n, n_planes, 2 ** n_planes,
+        )
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
     a = bucketed.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
