@@ -529,6 +529,53 @@ def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data hygiene): the synthetic corpus has
+    no PII, so the query injects deterministic emails/phone numbers
+    first (same expression in the oracle), then counts + scrubs. The
+    scrubbed text is value-checked via md5."""
+    from inxs_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call "),
+            (F.col("doc_id") * 3 + 10_000_000).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        pii_scrub(docs)
+        .select(
+            "doc_id", "n_emails", "n_long_numbers",
+            F.md5("scrubbed").alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-trigram ratio (quality signal)."""
+    from inxs_spark.operators.text import repetition_ratio
+
+    return repetition_ratio(_t(spark, sf_dir, "documents"), n=3).orderBy("doc_id")
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id < 20 stand in for
+    the eval set; training docs (doc_id >= 20) are flagged when they
+    share any 5-gram with it (broadcast eval-gram join)."""
+    from inxs_spark.operators.text import decontamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=5,
+    ).orderBy("doc_id")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per language: token counts per lang x document frequency
     across the corpus; top 3 terms per lang by score (token tiebreak).
@@ -817,6 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup_exact": q_embedding_near_dup_exact,
         "q_lang_quota_sample": q_lang_quota_sample,
         "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_pii_scrub": q_pii_scrub,
+        "q_repetition_ratio": q_repetition_ratio,
+        "q_decontamination": q_decontamination,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1178,6 +1228,65 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM tf JOIN dfreq USING (token) CROSS JOIN n
             ) WHERE rnk <= 3 ORDER BY lang, rnk
+        """,
+        "q_pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or call '
+                            || CAST(doc_id * 3 + 10000000 AS VARCHAR) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_numbers,
+                   md5(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{7,}', '<NUM>', 'g')) AS scrub_md5
+            FROM aug ORDER BY doc_id
+        """,
+        "q_repetition_ratio": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 2), ' ')
+                       ) AS grams
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(grams) AS n_grams,
+                   len(list_distinct(grams)) AS n_distinct_grams,
+                   round(1 - len(list_distinct(grams)) / len(grams), 4) AS rep_ratio
+            FROM g ORDER BY doc_id
+        """,
+        "q_decontamination": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 4), ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+            hits AS (
+                SELECT doc_id, count(DISTINCT t.gram) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+                      WHERE doc_id >= 20) t
+                JOIN ev USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q_cosine_topk": """
             WITH q AS (

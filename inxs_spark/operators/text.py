@@ -114,6 +114,94 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+#: cross-engine (Java regex / RE2) PII patterns — intentionally simple
+#: constructs so Spark and the DuckDB oracle match byte-for-byte
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"[0-9]{7,}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (training-data hygiene op): count and
+    replace email addresses and long digit runs. Single-pass codegen
+    projection — no shuffle, no Python; patterns restricted to
+    constructs with identical semantics in Java regex and RE2 so the
+    DuckDB oracle can verify values exactly."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(LONG_NUMBER_RE)).cast("long").alias("n_long_numbers"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def _word_grams(text_col: str, n: int) -> str:
+    """SQL fragment: ALL word n-grams (non-distinct) of the column."""
+    return (
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    )
+
+
+def repetition_ratio(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition (Gopher/RefinedWeb-style quality
+    signal): 1 - distinct/total word n-grams. High values flag
+    looping/boilerplate generations. Pure codegen projection."""
+    grams = F.expr(_word_grams(text_col, n))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct_grams"),
+        F.round(1 - distinct / total, 4).alias("rep_ratio"),
+    )
+
+
+def decontamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set (the n-gram-overlap rule used
+    for public-benchmark leakage).
+
+    Plan: eval grams → distinct → BROADCAST (eval sets are tiny
+    relative to the corpus); training docs explode to (id, gram) and
+    hash-join against it — one shuffle for the per-doc count, corpus
+    side never collected. At 100 TB the eval-gram set is still a few
+    MB, so this stays a map-side join."""
+    grams = F.expr(_word_grams(text_col, n))
+    eval_grams = (
+        eval_df.select(F.explode(F.array_distinct(grams)).alias("gram")).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("__hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("__hits"), F.lit(0)) > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -75,6 +75,48 @@ class TestDedup:
 
         assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
 
+    def test_pii_scrub(self, spark):
+        from inxs_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@ex-ample.co.uk now, id 12345678 or 123"),
+             (2, "clean text only")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert rows[1].n_emails == 1 and rows[1].n_long_numbers == 1
+        assert rows[1].scrubbed == "mail <EMAIL> now, id <NUM> or 123"
+        assert rows[2].n_emails == 0 and rows[2].scrubbed == "clean text only"
+
+    def test_repetition_ratio(self, spark):
+        from inxs_spark.operators.text import repetition_ratio
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+             (2, "all words unique here truly")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_ratio(df, n=3).collect()}
+        assert rows[1].n_grams == 7 and rows[1].n_distinct_grams == 3
+        assert rows[1].rep_ratio == round(1 - 3 / 7, 4)
+        assert rows[2].rep_ratio == 0.0
+
+    def test_decontamination(self, spark):
+        from inxs_spark.operators.text import decontamination
+
+        ev = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [(1, "padding quick brown fox jumps over pad"),  # shares 5-grams
+             (2, "completely clean training document text here")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in decontamination(train, ev, n=5).collect()}
+        assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
+        assert rows[2].contaminated == 0 and rows[2].n_hits == 0
+
     def test_simhash_blocking_recall_at_max_hamming(self, spark):
         """Pigeonhole contract: pairs at hamming EXACTLY max_hamming,
         with differing bits spread so that every 16-bit quarter differs
