@@ -576,6 +576,36 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elevates the non-SQL extraction path into the ORACLE gate: the
+    plain pipeline (salt → sort → mapInArrow) and the dedup-before-
+    extract pipeline (distinct-payload kernel + join-back) must agree
+    byte-for-byte on every (conv_id, turn_idx) — text, spans, failure.
+    Returns ONE row whose value the DuckDB oracle pins to zero, so any
+    divergence between the two physical plans (or a kernel
+    nondeterminism) fails the driver's hash check."""
+    from inxs_spark.plans.extract_pipeline import extract_df, extract_df_deduped
+
+    t = _transcripts(spark, sf_dir)
+    cols = ["conv_id", "turn_idx", "extracted_text", "spans", "failure"]
+    a = extract_df(t).select(*cols)
+    b = extract_df_deduped(t).select(
+        "conv_id", "turn_idx",
+        F.col("extracted_text").alias("b_text"),
+        F.col("spans").alias("b_spans"),
+        F.col("failure").alias("b_failure"),
+    )
+    joined = a.join(b, ["conv_id", "turn_idx"], "full_outer")
+    mismatch = ~(
+        F.col("extracted_text").eqNullSafe(F.col("b_text"))
+        & F.to_json("spans").eqNullSafe(F.to_json("b_spans"))
+        & F.col("failure").eqNullSafe(F.col("b_failure"))
+    )
+    return joined.agg(
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("long").alias("n_mismatches")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per language: token counts per lang x document frequency
     across the corpus; top 3 terms per lang by score (token tiebreak).
@@ -867,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_repetition_ratio": q_repetition_ratio,
         "q_decontamination": q_decontamination,
+        "q_extract_parity": q_extract_parity,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1228,6 +1259,12 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM tf JOIN dfreq USING (token) CROSS JOIN n
             ) WHERE rnk <= 3 ORDER BY lang, rnk
+        """,
+        "q_extract_parity": """
+            -- the oracle pins the plain-vs-deduped extraction pipeline
+            -- divergence count to zero (the Spark side computes it over
+            -- the transcripts; any plan/kernel divergence hash-fails)
+            SELECT CAST(0 AS BIGINT) AS n_mismatches
         """,
         "q_pii_scrub": r"""
             WITH aug AS (
