@@ -117,6 +117,52 @@ class TestDedup:
         assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
         assert rows[2].contaminated == 0 and rows[2].n_hits == 0
 
+    def test_pii_scrub_invariants(self, spark):
+        """Idempotence + completeness on the real documents table with
+        injected PII: scrubbing a scrubbed corpus finds nothing and
+        changes nothing."""
+        from inxs_spark.operators.text import pii_scrub
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs = docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" x"), F.col("doc_id").cast("string"),
+                     F.lit("@y.io 99999999")).alias("text"),
+        )
+        first = pii_scrub(docs)
+        again = pii_scrub(
+            first.select("doc_id", F.col("scrubbed").alias("text"))
+        )
+        assert first.filter((F.col("n_emails") == 0) | (F.col("n_long_numbers") == 0)).count() == 0
+        assert again.filter((F.col("n_emails") != 0) | (F.col("n_long_numbers") != 0)).count() == 0
+        rejoined = first.select("doc_id", "scrubbed").join(
+            again.select("doc_id", F.col("scrubbed").alias("scrubbed2")), "doc_id"
+        )
+        assert rejoined.filter(F.col("scrubbed") != F.col("scrubbed2")).count() == 0
+
+    def test_repetition_ratio_bounds(self, spark):
+        from inxs_spark.operators.text import repetition_ratio
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = repetition_ratio(docs, n=3)
+        bad = out.filter(
+            (F.col("rep_ratio") < 0) | (F.col("rep_ratio") >= 1)
+            | (F.col("n_distinct_grams") > F.col("n_grams"))
+            | (F.col("n_distinct_grams") < 1)
+        )
+        assert bad.count() == 0
+
+    def test_decontamination_self_overlap(self, spark):
+        """Every document trivially contaminates against an eval set
+        containing itself (self 5-gram overlap)."""
+        from inxs_spark.operators.text import decontamination
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        out = decontamination(docs, docs, n=5)
+        assert out.filter(F.col("contaminated") == 0).count() == 0
+
     def test_simhash_blocking_recall_at_max_hamming(self, spark):
         """Pigeonhole contract: pairs at hamming EXACTLY max_hamming,
         with differing bits spread so that every 16-bit quarter differs
