@@ -76,6 +76,42 @@ def _write_microbatch(
     )
 
 
+def streaming_conversation_sessions(
+    spark: SparkSession,
+    input_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    reader_options: Optional[dict] = None,
+) -> DataFrame:
+    """Event-time SESSION windows per conversation: a session closes
+    after ``gap`` of inactivity (Spark's dynamic-gap state machine, the
+    streaming analogue of the batch q_user_sessions lag+sum
+    sessionization). Watermark bounds state: sessions older than the
+    watermark are finalized and their state evicted — at 10^12 turns
+    the state store holds only the open sessions inside the watermark
+    horizon, not history. Returns the streaming DataFrame (append
+    mode); callers attach a sink."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            # countDistinct is unsupported on streams; the role set is
+            # tiny (3 values) so an exact collect_set is bounded state
+            F.size(F.collect_set("role")).alias("n_roles"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id", "n_turns", "n_roles",
+        )
+    )
+
+
 def streaming_turn_rates(
     spark: SparkSession,
     input_path: str,

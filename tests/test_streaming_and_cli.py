@@ -37,6 +37,41 @@ def test_streaming_microbatch_replay_is_idempotent(spark, tiny_transcripts, tmp_
     assert spark.read.parquet(out_path).count() == 400
 
 
+def test_streaming_session_windows(spark, tiny_transcripts, tmp_out):
+    """Session-window sessionization over the stream: every
+    conversation appears, sessions close after the gap, and per-conv
+    turn counts reconcile with the batch input."""
+    from inxs_spark.streaming.extract_stream import streaming_conversation_sessions
+
+    agg = streaming_conversation_sessions(spark, tiny_transcripts)
+    # complete mode: append would withhold sessions newer than the
+    # final watermark, which on a BOUNDED source means the tail
+    # sessions never emit — complete mode surfaces all state for the
+    # reconciliation check
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("conv_sessions_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp_out, "cp_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    rows = spark.sql("select * from conv_sessions_test").collect()
+    assert rows
+    # sessions are well-formed and counts reconcile per conversation
+    got = {}
+    for r in rows:
+        assert r.session_end > r.session_start and r.n_turns > 0
+        got[r.conv_id] = got.get(r.conv_id, 0) + r.n_turns
+    want = {
+        r.conv_id: r.n
+        for r in spark.read.parquet(tiny_transcripts)
+        .groupBy("conv_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+
+
 def test_streaming_windowed_counts(spark, tiny_transcripts, tmp_out):
     from inxs_spark.streaming.extract_stream import streaming_turn_rates
 
