@@ -844,6 +844,31 @@ def x_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (HyperLogLog++): per event_type,
+    approx vs exact distinct users with the relative error surfaced.
+    At 100 TB the sketch is THE way to count distincts — fixed-size
+    mergeable state instead of a distinct shuffle; rows-only because
+    DuckDB's HLL implementation yields different estimates (the test
+    suite asserts rel_err < 5% instead)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).cast("long").alias("approx_users"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+        )
+        .select(
+            "event_type", "approx_users", "exact_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def x_pdf_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout-parse plumbing (decode stubbed per container limits):
     binary pdf → (page, block) rows → body text in reading order."""
@@ -910,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_conversation_documents": x_conversation_documents,
         "x_extract_density": x_extract_density,
         "x_table_records": x_table_records,
+        "x_approx_distinct_users": x_approx_distinct_users,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
     }

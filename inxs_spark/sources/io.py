@@ -32,6 +32,22 @@ def write_table(df: DataFrame, location: str, fmt: str | None = None,
     (df.write.format(fmt or TABLE_FORMAT).mode(mode).save(location))
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   fmt: str | None = None) -> None:
+    """Persist a table BUCKETED by the join/aggregation key — the
+    co-located-join layout. Two tables bucketed the same way join with
+    ZERO Exchange on either side (asserted in
+    tests/test_stateful_and_io.py): at 100 TB this converts every
+    recurring fact-fact join from a full shuffle into a local
+    merge-per-bucket. Parquet+bucketBy here; on Iceberg the same call
+    becomes a ``bucket(n, col)`` partition transform."""
+    writer = df.write.format(fmt or TABLE_FORMAT).mode("overwrite")
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
 def input_fingerprint(location: str) -> str:
     """Deterministic fingerprint of an on-disk input table — the
     sandbox stand-in for an Iceberg snapshot id."""

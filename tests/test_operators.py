@@ -117,6 +117,18 @@ class TestDedup:
         assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
         assert rows[2].contaminated == 0 and rows[2].n_hits == 0
 
+    def test_approx_distinct_error_bound(self, spark):
+        """HLL++ sketch distinct counts stay within the configured
+        relative error on the real events table."""
+        import __spark_entry__ as E
+
+        rows = E.queries()["x_approx_distinct_users"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.rel_err < 0.05, (r.event_type, r.rel_err)
+
     def test_pii_scrub_invariants(self, spark):
         """Idempotence + completeness on the real documents table with
         injected PII: scrubbing a scrubbed corpus finds nothing and

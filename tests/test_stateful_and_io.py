@@ -68,6 +68,36 @@ def test_io_roundtrip_and_fingerprint(spark, tmp_out):
     assert input_fingerprint(os.path.join(tmp_out, "t2")) != fp1
 
 
+def test_bucketed_join_no_shuffle(spark, tiny_transcripts):
+    """The co-located-join claim, proven: two tables bucketed by the
+    join key join WITHOUT any Exchange in the physical plan — at
+    100 TB this is the layout that converts recurring fact-fact joins
+    from full shuffles into per-bucket local merges (Iceberg bucket()
+    transform via the io.py seam)."""
+    from inxs_spark.sources.io import write_bucketed
+
+    t = spark.read.parquet(tiny_transcripts)
+    left = t.select("conv_id", "turn_idx", "role")
+    right = (
+        t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    )
+    write_bucketed(left, "bkt_turns", ["conv_id"], 8)
+    write_bucketed(right, "bkt_convs", ["conv_id"], 8)
+    try:
+        # disable broadcast so the join would otherwise SHUFFLE
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_turns").join(
+            spark.table("bkt_convs"), "conv_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == t.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_turns")
+        spark.sql("DROP TABLE IF EXISTS bkt_convs")
+
+
 def test_functions_facade(spark):
     from inxs_spark import functions as EF
 
