@@ -844,6 +844,21 @@ def x_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow (exact dedup → near-dup prune →
+    quality/lang gate → PII scrub → quota) as ONE summary row of stage
+    counts — the no-silent-attrition lineage record. Rows-only: the
+    near-dup stage is MinHash-approximate."""
+    from inxs_spark.jobs.curate import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    _curated, stats = curate(docs, quota_per_lang=50)
+    return spark.createDataFrame(
+        [tuple(int(stats[k]) for k in sorted(stats))],
+        ", ".join(f"{k} long" for k in sorted(stats)),
+    )
+
+
 def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (HyperLogLog++): per event_type,
     approx vs exact distinct users with the relative error surfaced.
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_conversation_documents": x_conversation_documents,
         "x_extract_density": x_extract_density,
         "x_table_records": x_table_records,
+        "x_curation_pipeline": x_curation_pipeline,
         "x_approx_distinct_users": x_approx_distinct_users,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,

@@ -117,6 +117,33 @@ class TestDedup:
         assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
         assert rows[2].contaminated == 0 and rows[2].n_hits == 0
 
+    def test_curation_pipeline(self, spark):
+        """Composed curation: duplicates and near-dups removed, counts
+        monotone per stage, quality floor enforced, PII scrubbed."""
+        from inxs_spark.jobs.curate import curate
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and runs on", "en"),
+            (2, "the quick brown fox jumps over the lazy dog and runs on", "en"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy dog and runs off", "en"),  # near dup
+            (4, "der schnelle braune fuchs springt ueber den faulen hund heute", "de"),
+            (5, "mail me at a@b.co and the id is 123456789 thanks", "en"),
+            (6, "!!! ??? *** ###", "en"),  # punct junk → low quality
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        curated, stats = curate(df, jaccard_threshold=0.6, min_quality=0.2)
+        assert stats["input"] == 6
+        assert stats["after_exact_dedup"] == 5          # 2 dropped
+        assert stats["after_near_dup_prune"] == 4       # 3 dropped (near-dup of 1)
+        ids = {r.doc_id for r in curated.collect()}
+        assert 2 not in ids and 3 not in ids and 6 not in ids
+        texts = {r.doc_id: r.text for r in curated.collect()}
+        assert "<EMAIL>" in texts[5] and "<NUM>" in texts[5]
+        vals = [stats[k] for k in ("input", "after_exact_dedup",
+                                   "after_near_dup_prune",
+                                   "after_quality_lang_gate", "output")]
+        assert vals == sorted(vals, reverse=True)
+
     def test_approx_distinct_error_bound(self, spark):
         """HLL++ sketch distinct counts stay within the configured
         relative error on the real events table."""
