@@ -844,6 +844,28 @@ def x_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (web-archive) source → main-content extraction: the
+    canonical web-scale input format feeding the kernel pipeline.
+    Archives are synthesized deterministically (no WARC corpus in the
+    container); per-page byte-parity vs the serial kernel is
+    test-asserted in tests/test_warc.py."""
+    import os
+
+    from inxs_spark.plans.extract_pipeline import extract_df
+    from inxs_spark.sources.warc import read_warc, synth_warc_file, warc_to_turns
+
+    d = "/root/repo/.data/warc_contract"
+    os.makedirs(d, exist_ok=True)
+    for seed, compress in ((11, False), (12, True)):
+        path = os.path.join(d, f"s{seed}.warc" + (".gz" if compress else ""))
+        if not os.path.exists(path):
+            synth_warc_file(path, 64, seed=seed, compress=compress)
+    turns = warc_to_turns(read_warc(spark, d))
+    out = extract_df(turns, num_partitions=8)
+    return _hashable(out).orderBy("conv_id", "turn_idx")
+
+
 def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation flow (exact dedup → near-dup prune →
     quality/lang gate → PII scrub → quota) as ONE summary row of stage
@@ -950,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_conversation_documents": x_conversation_documents,
         "x_extract_density": x_extract_density,
         "x_table_records": x_table_records,
+        "x_warc_extract": x_warc_extract,
         "x_curation_pipeline": x_curation_pipeline,
         "x_approx_distinct_users": x_approx_distinct_users,
         "x_pdf_layout_extract": x_pdf_layout_extract,

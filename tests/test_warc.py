@@ -1,0 +1,79 @@
+"""WARC source: parser units, Spark reader, end-to-end extraction
+parity against the serial kernel."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_parse_warc_units():
+    from inxs_spark.sources.warc import (
+        _build_record,
+        parse_http_response,
+        parse_warc,
+    )
+
+    body = b"<html><p>hello</p></html>"
+    raw = _build_record("https://x.test/a", "2026-01-01T00:00:00Z", body)
+    # body containing the literal record marker must not split records
+    tricky = _build_record("https://x.test/b", "2026-01-01T00:00:00Z",
+                           b"<p>WARC/1.0 inline</p>")
+    recs = list(parse_warc(raw + tricky))
+    assert len(recs) == 2
+    assert recs[0]["headers"]["warc-target-uri"] == "https://x.test/a"
+    status, http_headers, got = parse_http_response(recs[0]["block"])
+    assert status == 200 and got == body
+    assert http_headers["content-type"] == "text/html"
+    assert b"WARC/1.0 inline" in recs[1]["block"]
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_out):
+    from inxs_spark.sources.warc import read_warc, synth_warc_file
+
+    d = os.path.join(tmp_out, "warc_in")
+    os.makedirs(d, exist_ok=True)
+    urls_a = synth_warc_file(os.path.join(d, "a.warc"), 20, seed=1)
+    urls_b = synth_warc_file(os.path.join(d, "b.warc.gz"), 15, seed=2,
+                             compress=True)
+    df = read_warc(spark, d)
+    rows = df.collect()
+    assert len(rows) == 35
+    assert {r.url for r in rows} == set(urls_a) | set(urls_b)
+    assert all(r.http_status == 200 and r.failure is None for r in rows)
+    assert all(r.content_type == "text/html" for r in rows)
+
+
+def test_warc_extraction_parity(spark, tmp_out):
+    """WARC → turns → extract_df must byte-match the serial kernel on
+    every page (the north-rule invariant on the web-archive source)."""
+    from inxs_spark.extract import extract_turn
+    from inxs_spark.plans.extract_pipeline import extract_df
+    from inxs_spark.sources import synth
+    from inxs_spark.sources.warc import read_warc, synth_warc_file, warc_to_turns
+
+    d = os.path.join(tmp_out, "warc_e2e")
+    os.makedirs(d, exist_ok=True)
+    synth_warc_file(os.path.join(d, "c.warc.gz"), 40, seed=3, compress=True)
+    turns = warc_to_turns(read_warc(spark, d))
+    got = {
+        r.conv_id: (r.extracted_text, r.failure)
+        for r in extract_df(turns, num_partitions=4).collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        url = f"https://example.org/3/{i}"
+        payload = synth.payload(3000 + i, i % 4) or ""
+        want_text, _spans, want_fail = extract_turn(payload)
+        assert got[url] == (want_text, want_fail), url
+
+
+def test_read_warc_corrupt_gzip_degrades(spark, tmp_out):
+    from inxs_spark.sources.warc import read_warc
+
+    d = os.path.join(tmp_out, "warc_bad")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "bad.warc.gz"), "wb") as fh:
+        fh.write(gzip.compress(b"WARC/1.0\r\n\r\n")[:10])  # truncated member
+    rows = read_warc(spark, d).collect()
+    assert len(rows) == 1 and rows[0].failure == "gzip_error"
