@@ -881,6 +881,15 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (CCNet/RefinedWeb-style)
+    over the documents table — rows-only (no SQL zlib); ordering
+    properties are test-asserted."""
+    from inxs_spark.operators.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (HyperLogLog++): per event_type,
     approx vs exact distinct users with the relative error surfaced.
@@ -974,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_records": x_table_records,
         "x_warc_extract": x_warc_extract,
         "x_curation_pipeline": x_curation_pipeline,
+        "x_compression_quality": x_compression_quality,
         "x_approx_distinct_users": x_approx_distinct_users,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,

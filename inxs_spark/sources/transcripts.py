@@ -92,3 +92,29 @@ def tier_for_sf_dir(sf_dir: str) -> str:
     return {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "bench"}.get(
         name, "small"
     )
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL transcript ingestion (the other common interchange format
+    for conversation corpora): schema-enforced PERMISSIVE read where
+    malformed lines land in a ``_corrupt_record`` column instead of
+    failing the job — at web scale some fraction of every JSONL drop
+    is broken and a fail-fast read loses the whole file.
+
+    Returns rows in the standard transcripts schema plus
+    ``_corrupt_record`` (NULL for clean rows); callers filter/count
+    corrupt rows as lineage. Timestamps parse ISO-8601. NOTE: Spark
+    refuses queries that touch ONLY the corrupt column on a raw JSON
+    scan — ``.cache()`` (or persist to a table) before counting
+    corrupt rows."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, _corrupt_record string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+        .json(path)
+    )

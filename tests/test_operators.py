@@ -117,6 +117,31 @@ class TestDedup:
         assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
         assert rows[2].contaminated == 0 and rows[2].n_hits == 0
 
+    def test_compression_ratio_orders_quality(self, spark):
+        """Repetitive text compresses far better than high-entropy
+        text; plain prose sits between."""
+        import random as _random
+
+        from inxs_spark.operators.text import compression_ratio
+
+        rng = _random.Random(7)
+        noise = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(8))
+            for _ in range(100)
+        )
+        rows = [
+            (1, "spam ham " * 400),
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "rests beneath a tall oak tree before running onward " * 8),
+            (3, noise),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+        assert got[1] < got[2] < got[3], got
+        assert got[4] is None
+
     def test_curation_pipeline(self, spark):
         """Composed curation: duplicates and near-dups removed, counts
         monotone per stage, quality floor enforced, PII scrubbed."""

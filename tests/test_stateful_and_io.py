@@ -98,6 +98,24 @@ def test_bucketed_join_no_shuffle(spark, tiny_transcripts):
         spark.sql("DROP TABLE IF EXISTS bkt_convs")
 
 
+def test_partition_pruning_reaches_scan(spark, tmp_out):
+    """Hive-partitioned layout + a partition-column filter must prune
+    at the SCAN (PartitionFilters in the plan, only the matching
+    directory's files read) — the layout lever that turns a 100 TB
+    full scan into a per-language slice."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = os.path.join(tmp_out, "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must land in PartitionFilters (scan-level
+    # directory pruning), NOT in PushedFilters/post-scan Filter
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert docs.select("lang").distinct().count() > 1
+    assert q.count() == docs.filter(F.col("lang") == "en").count() > 0
+
+
 def test_functions_facade(spark):
     from inxs_spark import functions as EF
 

@@ -77,3 +77,36 @@ def test_read_warc_corrupt_gzip_degrades(spark, tmp_out):
         fh.write(gzip.compress(b"WARC/1.0\r\n\r\n")[:10])  # truncated member
     rows = read_warc(spark, d).collect()
     assert len(rows) == 1 and rows[0].failure == "gzip_error"
+
+
+def test_jsonl_transcripts_permissive(spark, tmp_out):
+    """JSONL ingestion: clean rows parse into the transcripts schema,
+    malformed lines surface in _corrupt_record instead of failing."""
+    import json as _json
+
+    from inxs_spark.plans.extract_pipeline import extract_df
+    from inxs_spark.sources.transcripts import read_transcripts_jsonl
+
+    path = os.path.join(tmp_out, "turns.jsonl")
+    with open(path, "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({
+                "conv_id": f"c{i % 3}", "turn_idx": i, "role": "user",
+                "text": f"<p>turn {i}</p>", "tool": None,
+                "ts": "2026-01-01T00:00:05",
+            }) + "\n")
+        fh.write('{"conv_id": "broken", "turn_idx": NOT_JSON}\n')
+        fh.write("total garbage line\n")
+    # Spark disallows queries touching ONLY the corrupt column on raw
+    # JSON — cache first (documented in the reader)
+    df = read_transcripts_jsonl(spark, path).cache()
+    try:
+        clean = df.filter(F.col("_corrupt_record").isNull())
+        corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+        assert clean.count() == 10 and corrupt.count() == 2
+        # feeds the pipeline directly
+        out = extract_df(clean.drop("_corrupt_record"), num_partitions=2)
+        texts = {(r.conv_id, r.turn_idx): r.extracted_text for r in out.collect()}
+        assert texts[("c0", 0)] == "turn 0" and len(texts) == 10
+    finally:
+        df.unpersist()
