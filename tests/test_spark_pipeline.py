@@ -143,6 +143,57 @@ def test_resume_rejects_incompatible_manifests(spark, tiny_transcripts, tmp_out)
                        num_partitions=2, transformation=other_rules)
 
 
+def test_incremental_extraction_on_growing_input(spark, tiny_transcripts, tmp_out):
+    """Append-corpus mode: new input files recompute only the groups
+    they land in; the final table equals a full recompute."""
+    from pyspark.sql import functions as F
+
+    from inxs_spark.plans.runner import run_extraction_incremental
+
+    src = os.path.join(tmp_out, "growing_input")
+    base = spark.read.parquet(tiny_transcripts).limit(400)
+    base.coalesce(4).write.mode("overwrite").parquet(src)
+
+    s1 = run_extraction_incremental(spark, src, tmp_out, groups=4)
+    assert s1["groups_run"] == s1["groups_total"]
+    first = {(r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
+             for r in read_extracted(spark, tmp_out).collect()}
+    assert len(first) == 400
+
+    # rerun without changes: everything skips
+    s2 = run_extraction_incremental(spark, src, tmp_out, groups=4)
+    assert s2["groups_run"] == 0 and s2["groups_skipped"] == s2["groups_total"]
+
+    # append new rows (new parquet files) → only affected groups rerun
+    extra = spark.createDataFrame(
+        [("newconv", i, f"<p>appended {i}</p>") for i in range(5)],
+        "conv_id string, turn_idx int, text string",
+    ).withColumn("role", F.lit("user")).withColumn("tool", F.lit(None).cast("string")) \
+     .withColumn("ts", F.current_timestamp()) \
+     .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    extra.coalesce(1).write.mode("append").parquet(src)
+
+    s3 = run_extraction_incremental(spark, src, tmp_out, groups=4)
+    assert 1 <= s3["groups_run"] < s3["groups_total"]
+    resumed = {(r.conv_id, r.turn_idx): (r.extracted_text, r.failure)
+               for r in read_extracted(spark, tmp_out).collect()}
+    assert len(resumed) == 405
+    assert resumed[("newconv", 0)] == ("appended 0", None)
+    for key, val in first.items():
+        assert resumed[key] == val  # untouched rows identical
+
+    # rule change is still refused
+    from inxs_spark.kernel import Rule, Transformation, lib
+    from inxs_spark.plans.runner import ResumeMismatch
+
+    other = Transformation(
+        Rule("tr", (lib.get_text, lib.append("rows"))), name="other",
+    )
+    with pytest.raises(ResumeMismatch, match="rule_set_hash"):
+        run_extraction_incremental(spark, src, tmp_out, groups=4,
+                                   transformation=other)
+
+
 def test_lineage_metrics(spark, tiny_transcripts, tmp_out):
     summary = run_extraction(
         spark, tiny_transcripts, tmp_out, chunks=2, num_partitions=4
