@@ -43,7 +43,11 @@ def curate(
     """Run the curation flow; returns (curated_df, stage_counts)."""
     from pyspark.sql.window import Window
 
-    from ..operators.dedup import exact_dedup, minhash_dedup_pairs
+    from ..operators.dedup import (
+        dedup_keep_one_per_cluster,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
     from ..operators.text import language_id, pii_scrub, quality_score
 
     stats: dict[str, int] = {"input": df.count()}
@@ -55,8 +59,9 @@ def curate(
         deduped, id_col=id_col, text_col=text_col,
         threshold=jaccard_threshold,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    pruned = deduped.join(F.broadcast(losers), id_col, "left_anti")
+    # component-correct: keep the min id of every CONNECTED near-dup
+    # cluster (pairwise loser-dropping over-deletes on chains A~B~C)
+    pruned = dedup_keep_one_per_cluster(deduped, pairs, id_col)
     stats["after_near_dup_prune"] = pruned.count()
 
     quality = quality_score(pruned, id_col, text_col).select(id_col, "quality")

@@ -310,6 +310,77 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over pair edges)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Cluster ids over near-dup pair edges: (id, cluster_id) where
+    cluster_id = min member id of the connected component.
+
+    Pair-level dedup alone is WRONG at scale: chains (A~B, B~C with
+    A≁C) need component semantics to decide what survives. This is the
+    hash-min iteration — each node takes the min label over itself and
+    its neighbors, repeated to fixpoint — which converges in
+    O(component diameter) shuffles. Near-dup components are shallow
+    (template families collapse through their hub documents), so
+    diameter is small in practice; for adversarially long chains the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") reaches O(log n) rounds with
+    the same join shape and is the drop-in upgrade.
+
+    Each iteration checkpoints via localCheckpoint() to cut the plan
+    lineage — without it the join tree doubles per round and Catalyst
+    analysis cost explodes by iteration ~10."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_one_per_cluster(df: DataFrame, pairs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Component-correct near-dup removal: keep exactly the min-id
+    document of every connected near-dup cluster (singletons —
+    documents in no pair — always survive)."""
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    # no broadcast hint: the loser set scales with the duplicate count —
+    # AQE broadcasts when it is actually small
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

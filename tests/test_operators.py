@@ -117,6 +117,37 @@ class TestDedup:
         assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
         assert rows[2].contaminated == 0 and rows[2].n_hits == 0
 
+    def test_connected_components_chains(self, spark):
+        """Hash-min CC: chains, cliques, and singletons resolve to the
+        min-id cluster label; keep-one keeps exactly one per component."""
+        from inxs_spark.operators.dedup import (
+            connected_components,
+            dedup_keep_one_per_cluster,
+        )
+
+        # components: {1,2,3,4} (a chain), {10,11}, 20 is a singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 20)],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in dedup_keep_one_per_cluster(docs, pairs).collect()}
+        assert kept == {1, 10, 20}
+
+    def test_connected_components_long_chain_converges(self, spark):
+        from inxs_spark.operators.dedup import connected_components
+
+        n = 12  # diameter 12 chain — within the iteration budget
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert set(got.values()) == {0} and len(got) == n + 1
+
     def test_compression_ratio_orders_quality(self, spark):
         """Repetitive text compresses far better than high-entropy
         text; plain prose sits between."""
