@@ -576,6 +576,23 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clusters over the EXACT n-gram
+    Jaccard pairs (deterministic edge set → oracle-checkable): the
+    iterative hash-min DataFrame algorithm vs DuckDB's recursive-CTE
+    transitive closure."""
+    from inxs_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.4, block_col="lang"
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elevates the non-SQL extraction path into the ORACLE gate: the
     plain pipeline (salt → sort → mapInArrow) and the dedup-before-
@@ -969,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_ratio": q_repetition_ratio,
         "q_decontamination": q_decontamination,
         "q_extract_parity": q_extract_parity,
+        "q_dedup_clusters": q_dedup_clusters,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1334,6 +1352,31 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM tf JOIN dfreq USING (token) CROSS JOIN n
             ) WHERE rnk <= 3 ORDER BY lang, rnk
+        """,
+        "q_dedup_clusters": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id AS id, lang,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+                       )) AS grams
+                FROM documents
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM g a JOIN g b ON a.lang = b.lang AND a.id < b.id
+                WHERE len(list_intersect(a.grams, b.grams))
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))) >= 0.4
+            ), e AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "q_extract_parity": """
             -- the oracle pins the plain-vs-deduped extraction pipeline
