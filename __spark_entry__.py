@@ -898,6 +898,36 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna approx_percentile) vs exact
+    percentiles with the relative error surfaced — mergeable
+    bounded-state quantiles are the 100 TB path; rows-only (sketch
+    internals differ across engines), error bound test-asserted."""
+    orders = _t(spark, sf_dir, "orders")
+    apx = F.expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.9D), 1000)"
+    )
+    ext = F.expr("percentile(o_totalprice, array(0.5D, 0.9D))")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(apx[0], 2).alias("p50_approx"),
+            F.round(ext[0], 2).alias("p50_exact"),
+            F.round(apx[1], 2).alias("p90_approx"),
+            F.round(ext[1], 2).alias("p90_exact"),
+        )
+        .select(
+            "o_orderpriority", "p50_approx", "p50_exact",
+            "p90_approx", "p90_exact",
+            F.round(F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                    / F.col("p50_exact"), 4).alias("p50_rel_err"),
+            F.round(F.abs(F.col("p90_approx") - F.col("p90_exact"))
+                    / F.col("p90_exact"), 4).alias("p90_rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def x_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (CCNet/RefinedWeb-style)
     over the documents table — rows-only (no SQL zlib); ordering
@@ -1001,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_records": x_table_records,
         "x_warc_extract": x_warc_extract,
         "x_curation_pipeline": x_curation_pipeline,
+        "x_approx_percentiles": x_approx_percentiles,
         "x_compression_quality": x_compression_quality,
         "x_approx_distinct_users": x_approx_distinct_users,
         "x_pdf_layout_extract": x_pdf_layout_extract,

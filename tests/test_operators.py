@@ -212,6 +212,16 @@ class TestDedup:
         for r in rows:
             assert r.rel_err < 0.05, (r.event_type, r.rel_err)
 
+    def test_approx_percentile_error_bound(self, spark):
+        import __spark_entry__ as E
+
+        rows = E.queries()["x_approx_percentiles"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.p50_rel_err < 0.02 and r.p90_rel_err < 0.02, r
+
     def test_pii_scrub_invariants(self, spark):
         """Idempotence + completeness on the real documents table with
         injected PII: scrubbing a scrubbed corpus finds nothing and
