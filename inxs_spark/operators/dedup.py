@@ -313,24 +313,24 @@ def ngram_jaccard_pairs(
 # near-dup clusters (connected components over pair edges)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iters: int = 20,
+                         _iters_out: list | None = None) -> DataFrame:
     """Cluster ids over near-dup pair edges: (id, cluster_id) where
     cluster_id = min member id of the connected component.
 
     Pair-level dedup alone is WRONG at scale: chains (A~B, B~C with
-    A≁C) need component semantics to decide what survives. This is the
-    hash-min iteration — each node takes the min label over itself and
-    its neighbors, repeated to fixpoint — which converges in
-    O(component diameter) shuffles. Near-dup components are shallow
-    (template families collapse through their hub documents), so
-    diameter is small in practice; for adversarially long chains the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") reaches O(log n) rounds with
-    the same join shape and is the drop-in upgrade.
+    A≁C) need component semantics to decide what survives. Each round
+    does hash-min (take the min label over self + neighbors) FOLLOWED
+    BY pointer jumping (label ← label-of-label), so label information
+    travels 2^k hops after k rounds → convergence in O(log diameter)
+    shuffles, not O(diameter) (union-find path halving, the same trick
+    large-star/small-star exploits). Worst case: a 1M-node chain
+    converges in ~20 rounds instead of 1M.
 
     Each iteration checkpoints via localCheckpoint() to cut the plan
     lineage — without it the join tree doubles per round and Catalyst
-    analysis cost explodes by iteration ~10."""
+    analysis cost explodes by iteration ~10. ``_iters_out`` (tests)
+    receives the executed round count."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -341,13 +341,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        hashmin = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -355,14 +355,34 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+            )
+        )
+        # pointer jumping: chase one level of indirection — labels now
+        # reach 2^round hops, turning chain convergence logarithmic
+        parents = hashmin.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
+        updated = (
+            hashmin.join(parents, hashmin.cluster_id == parents.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_cluster"), F.col("cluster_id")),
+                ).alias("new_cluster"),
             )
         )
         updated = updated.localCheckpoint()
-        n_changed = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed")
-        if n_changed == 0:
+        changed = (
+            updated.join(labels, "id")
+            .filter(F.col("new_cluster") != F.col("cluster_id"))
+            .count()
+        )
+        labels = updated.withColumnRenamed("new_cluster", "cluster_id")
+        if changed == 0:
             break
+    if _iters_out is not None:
+        _iters_out.append(rounds)
     return labels
 
 

@@ -139,14 +139,20 @@ class TestDedup:
         assert kept == {1, 10, 20}
 
     def test_connected_components_long_chain_converges(self, spark):
+        """Pointer jumping makes chain convergence logarithmic: a
+        60-hop chain must resolve well within 10 rounds (hash-min
+        alone would need 60)."""
         from inxs_spark.operators.dedup import connected_components
 
-        n = 12  # diameter 12 chain — within the iteration budget
+        n = 60
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(n)], "id_a long, id_b long"
         )
-        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        iters: list = []
+        got = {r.id: r.cluster_id
+               for r in connected_components(pairs, _iters_out=iters).collect()}
         assert set(got.values()) == {0} and len(got) == n + 1
+        assert iters[0] <= 10, iters
 
     def test_compression_ratio_orders_quality(self, spark):
         """Repetitive text compresses far better than high-entropy
