@@ -200,6 +200,36 @@ def test_incremental_extraction_on_growing_input(spark, tiny_transcripts, tmp_ou
                                    transformation=other)
 
 
+def test_midjob_failure_then_resume(spark, tiny_transcripts, tmp_out, monkeypatch):
+    """Driver-loss simulation WITHOUT manifest surgery: the job dies
+    mid-run (injected failure on chunk 2); chunks committed before it
+    keep their manifests, and the plain rerun recomputes ONLY the
+    missing chunks, converging to the full result."""
+    import inxs_spark.plans.runner as R
+
+    src = os.path.join(tmp_out, "src")
+    base = spark.read.parquet(tiny_transcripts).limit(300)
+    base.repartition(3).write.mode("overwrite").parquet(src)
+
+    orig = R.extract_df
+
+    def boom(df, *a, **kw):
+        if kw.get("chunk_id") == 2:
+            raise RuntimeError("injected driver loss")
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(R, "extract_df", boom)
+    with pytest.raises(RuntimeError, match="injected driver loss"):
+        run_extraction(spark, src, tmp_out, chunks=3, num_partitions=2)
+    done_before = len(os.listdir(os.path.join(tmp_out, "manifests")))
+    assert done_before == 2  # chunks 0 and 1 committed before the crash
+
+    monkeypatch.setattr(R, "extract_df", orig)
+    summary = run_extraction(spark, src, tmp_out, chunks=3, num_partitions=2)
+    assert summary["chunks_skipped"] == 2 and summary["chunks_run"] == 1
+    assert read_extracted(spark, tmp_out).count() == 300
+
+
 def test_lineage_metrics(spark, tiny_transcripts, tmp_out):
     summary = run_extraction(
         spark, tiny_transcripts, tmp_out, chunks=2, num_partitions=4
