@@ -576,6 +576,26 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (NFC + lower + whitespace collapse) —
+    the pre-dedup step; value-checked via md5 of the normalized text.
+    Unicode noise is injected so the NFC path is actually exercised
+    (the synthetic corpus is ASCII)."""
+    from inxs_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Café  DU  "), F.col("text"), F.lit("\tSTRASSE\n")
+        ).alias("text"),
+    )
+    return (
+        normalize_text(docs)
+        .select("doc_id", "n_norm_chars", "norm_md5")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup clusters over the EXACT n-gram
     Jaccard pairs (deterministic edge set → oracle-checkable): the
@@ -1017,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": q_decontamination,
         "q_extract_parity": q_extract_parity,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_text_normalize": q_text_normalize,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1383,6 +1404,23 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM tf JOIN dfreq USING (token) CROSS JOIN n
             ) WHERE rnk <= 3 ORDER BY lang, rnk
+        """,
+        "q_text_normalize": """
+            WITH aug AS (
+                SELECT doc_id,
+                       'Cafe' || chr(769) || '  DU  ' || text
+                           || chr(9) || 'STRASSE' || chr(10) AS text
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(nfc_normalize(text)),
+                            '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+                FROM aug
+            )
+            SELECT doc_id,
+                   length(norm_text) AS n_norm_chars,
+                   md5(norm_text) AS norm_md5
+            FROM n ORDER BY doc_id
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE g AS (

@@ -204,6 +204,42 @@ def decontamination(
     )
 
 
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the step BEFORE any dedup so
+    that byte-level noise (composed vs decomposed accents, case,
+    run-on whitespace) doesn't defeat fingerprinting: unicode NFC →
+    lowercase → collapse ASCII whitespace runs → strip.
+
+    Arrow-batched pandas UDF (Spark has no builtin NFC); the explicit
+    [ \\t\\n\\r\\f] class (not \\s) keeps Python-regex and RE2/DuckDB
+    semantics identical, so the DuckDB oracle value-checks the output
+    (lower(nfc_normalize(..)) + regexp_replace)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def norm(texts: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ws = re.compile(r"[ \t\n\r\f]+")
+
+        def one(t):
+            if t is None:
+                return None
+            return ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+
+        return texts.map(one)
+
+    normed = norm(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        normed.alias("norm_text"),
+        F.length(normed).cast("long").alias("n_norm_chars"),
+        F.md5(normed).alias("norm_md5"),
+    )
+
+
 def compression_ratio(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", level: int = 6) -> DataFrame:
     """zlib compression ratio per document (compressed/raw bytes) — the

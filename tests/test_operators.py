@@ -154,6 +154,21 @@ class TestDedup:
         assert set(got.values()) == {0} and len(got) == n + 1
         assert iters[0] <= 10, iters
 
+    def test_normalize_text(self, spark):
+        from inxs_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "Café  DU\t\tMonde \n"),   # decomposed é + runs
+             (2, "Café du Monde"),                 # precomposed, canonical
+             (3, None)],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in normalize_text(df).collect()}
+        assert rows[1].norm_text == "café du monde"
+        # NFC unifies decomposed and precomposed → identical fingerprints
+        assert rows[1].norm_md5 == rows[2].norm_md5
+        assert rows[3].norm_text is None and rows[3].norm_md5 is None
+
     def test_compression_ratio_orders_quality(self, spark):
         """Repetitive text compresses far better than high-entropy
         text; plain prose sits between."""
