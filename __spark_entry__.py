@@ -576,6 +576,27 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_decontamination_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the canonical pre-pass (NFC + casefold +
+    whitespace collapse) on BOTH sides: the eval set is disguised with
+    uppercase + doubled spaces, which defeats raw n-gram overlap but
+    not the normalized variant — the standard first stage of a real
+    decontamination run, oracle-checked end to end."""
+    from inxs_spark.operators.text import decontamination
+
+    docs = _t(spark, sf_dir, "documents")
+    disguised_eval = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+    )
+    return decontamination(
+        docs.filter(F.col("doc_id") >= 20),
+        disguised_eval,
+        n=5,
+        normalize=True,
+    ).orderBy("doc_id")
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical normalization (NFC + lower + whitespace collapse) —
     the pre-dedup step; value-checked via md5 of the normalized text.
@@ -637,6 +658,71 @@ def q_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("extracted_text").eqNullSafe(F.col("b_text"))
         & F.to_json("spans").eqNullSafe(F.to_json("b_spans"))
         & F.col("failure").eqNullSafe(F.col("b_failure"))
+    )
+    return joined.agg(
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("long").alias("n_mismatches")
+    )
+
+
+def q_warc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotes the WARC byte-parity pytest into the ORACLE gate
+    (round-2 verdict task 5, pattern of q_extract_parity): the Spark
+    path (read_warc → warc_to_turns → extract_df) and the SERIAL
+    kernel over the very same synthesized archives must agree
+    byte-for-byte per page — text, spans, failure. Returns ONE row the
+    DuckDB oracle pins to zero mismatches, so any divergence in the
+    WARC record splitter, the content-type gate, or the distributed
+    plan hash-fails the driver check."""
+    import os
+
+    from inxs_spark.extract import extract_turn
+    from inxs_spark.plans.extract_pipeline import extract_df
+    from inxs_spark.sources.warc import (
+        _records_from_file,
+        read_warc,
+        synth_warc_file,
+        warc_to_turns,
+    )
+
+    d = "/root/repo/.data/warc_parity"
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for seed, compress in ((21, False), (22, True)):
+        p = os.path.join(d, f"s{seed}.warc" + (".gz" if compress else ""))
+        if not os.path.exists(p):
+            synth_warc_file(p, 48, seed=seed, compress=compress)
+        paths.append(p)
+
+    # serial reference: the same records through the same kernel, no
+    # Spark in the loop (kernel-as-oracle per SURVEY §0)
+    expected = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            raw = fh.read()
+        for (_f, idx, url, _date, status, _ct, html, failure) in (
+            _records_from_file(raw, p)
+        ):
+            if failure is not None or status != 200:
+                continue
+            text, spans, fail = extract_turn(html)
+            expected.append(
+                (url, idx, text, [tuple(s) for s in spans], fail)
+            )
+    exp_df = spark.createDataFrame(
+        expected,
+        "conv_id string, turn_idx int, e_text string, "
+        "e_spans array<struct<start:int,end:int,path:string>>, "
+        "e_failure string",
+    )
+
+    got = extract_df(
+        warc_to_turns(read_warc(spark, d)), num_partitions=8
+    ).select("conv_id", "turn_idx", "extracted_text", "spans", "failure")
+    joined = got.join(exp_df, ["conv_id", "turn_idx"], "full_outer")
+    mismatch = ~(
+        F.col("extracted_text").eqNullSafe(F.col("e_text"))
+        & F.to_json("spans").eqNullSafe(F.to_json("e_spans"))
+        & F.col("failure").eqNullSafe(F.col("e_failure"))
     )
     return joined.agg(
         F.sum(F.when(mismatch, 1).otherwise(0)).cast("long").alias("n_mismatches")
@@ -1035,7 +1121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_repetition_ratio": q_repetition_ratio,
         "q_decontamination": q_decontamination,
+        "q_decontamination_normalized": q_decontamination_normalized,
         "q_extract_parity": q_extract_parity,
+        "q_warc_parity": q_warc_parity,
         "q_dedup_clusters": q_dedup_clusters,
         "q_text_normalize": q_text_normalize,
         "x_embedding_near_dup": x_embedding_near_dup,
@@ -1452,6 +1540,42 @@ def oracle_sql() -> dict[str, str]:
             -- divergence count to zero (the Spark side computes it over
             -- the transcripts; any plan/kernel divergence hash-fails)
             SELECT CAST(0 AS BIGINT) AS n_mismatches
+        """,
+        "q_warc_parity": """
+            -- pins WARC→Spark-extraction vs serial-kernel divergence
+            -- (per-page text/spans/failure equality) to zero
+            SELECT CAST(0 AS BIGINT) AS n_mismatches
+        """,
+        "q_decontamination_normalized": """
+            WITH nd AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(nfc_normalize(text)),
+                            '[ \t\n\r\f]+', ' ', 'g')) AS text
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 4), ' ')
+                       )) AS grams
+                FROM nd
+            ),
+            -- eval side: the Spark query disguises it with upper() +
+            -- doubled spaces, both of which normalization erases
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+            hits AS (
+                SELECT doc_id, count(DISTINCT t.gram) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+                      WHERE doc_id >= 20) t
+                JOIN ev USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q_pii_scrub": r"""
             WITH aug AS (

@@ -39,6 +39,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+# per-query warm reps for the headline suite: the box has documented
+# >2x co-tenant variance (BENCH_r02 recorded a 75% dd_minhash
+# "regression" that a quiet-box A/B showed was load noise) — min-of-N
+# is the noise-robust estimator, same as the scaling walls
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 
 
 def build_session(cores: int):
@@ -111,8 +116,11 @@ def main() -> None:
 
     # ---- headline suite at full parallelism
     timed_extraction(boot, tpath, CPUS)  # warm python workers/JIT
-    wall = timed_extraction(boot, tpath, CPUS)
-    results["ex_extract"] = round(wall, 3)
+    ex_walls = [
+        round(timed_extraction(boot, tpath, CPUS), 3) for _ in range(QUERY_REPS)
+    ]
+    wall = min(ex_walls)
+    results["ex_extract"] = wall
     extra[f"extract_local{CPUS}_turns_per_s"] = round(n_turns / wall, 1)
 
     qs = entry.queries()
@@ -133,10 +141,20 @@ def main() -> None:
             ).mode("overwrite").save()
         except Exception:
             pass  # warm-up is best-effort
-    for name, key in suite:
-        t0 = time.monotonic()
-        qs[name](boot, SF_DIR).write.format("noop").mode("overwrite").save()
-        results[key] = round(time.monotonic() - t0, 3)
+    # reps are INTERLEAVED across queries (q1,q2,…,q1,q2,…) so a
+    # co-tenant load spike lands on one rep of every query instead of
+    # every rep of one query; min-of-reps then drops the spiked samples
+    rep_walls: dict[str, list[float]] = {key: [] for _name, key in suite}
+    for _rep in range(QUERY_REPS):
+        for name, key in suite:
+            t0 = time.monotonic()
+            qs[name](boot, SF_DIR).write.format("noop").mode("overwrite").save()
+            rep_walls[key].append(round(time.monotonic() - t0, 3))
+    for _name, key in suite:
+        results[key] = min(rep_walls[key])
+    rep_walls["ex_extract"] = ex_walls
+    extra["query_rep_walls_s"] = rep_walls
+    extra["query_reps"] = QUERY_REPS
     boot.stop()
 
     # ---- scaling evidence: N vs 4N cores. The two levels are

@@ -39,8 +39,15 @@ def curate(
     min_quality: float = 0.3,
     langs: tuple[str, ...] | None = None,
     quota_per_lang: int | None = None,
+    normalize: bool = True,
 ) -> tuple[DataFrame, dict]:
-    """Run the curation flow; returns (curated_df, stage_counts)."""
+    """Run the curation flow; returns (curated_df, stage_counts).
+
+    ``normalize=True`` (default) runs both dedup stages over the
+    CANONICALIZED text (NFC + casefold + whitespace collapse) so that
+    byte-level noise can't defeat fingerprinting — mixed-case or
+    unicode-variant duplicates collapse; the surviving rows keep their
+    ORIGINAL text."""
     from pyspark.sql.window import Window
 
     from ..operators.dedup import (
@@ -48,20 +55,32 @@ def curate(
         exact_dedup,
         minhash_dedup_pairs,
     )
-    from ..operators.text import language_id, pii_scrub, quality_score
+    from ..operators.text import (
+        language_id,
+        normalize_expr,
+        pii_scrub,
+        quality_score,
+    )
 
     stats: dict[str, int] = {"input": df.count()}
 
-    deduped = exact_dedup(df, id_col, text_col)
+    dd_col = text_col
+    if normalize:
+        dd_col = "__norm_text"
+        df = df.withColumn(dd_col, normalize_expr(text_col))
+
+    deduped = exact_dedup(df, id_col, dd_col)
     stats["after_exact_dedup"] = deduped.count()
 
     pairs = minhash_dedup_pairs(
-        deduped, id_col=id_col, text_col=text_col,
+        deduped, id_col=id_col, text_col=dd_col,
         threshold=jaccard_threshold,
     )
     # component-correct: keep the min id of every CONNECTED near-dup
     # cluster (pairwise loser-dropping over-deletes on chains A~B~C)
     pruned = dedup_keep_one_per_cluster(deduped, pairs, id_col)
+    if normalize:
+        pruned = pruned.drop(dd_col)
     stats["after_near_dup_prune"] = pruned.count()
 
     quality = quality_score(pruned, id_col, text_col).select(id_col, "quality")

@@ -146,6 +146,16 @@ def derive_max_bucket(n_rows: int, lo: int = 64, hi: int = 4096) -> int:
     return min(max(lo, int(math.isqrt(max(n_rows, 1)))), hi)
 
 
+def bounded_count(df: DataFrame, saturation: int) -> int:
+    """Row count that never processes more than ``saturation`` rows:
+    ``limit(saturation).count()``. Returns the exact count below the
+    saturation point and exactly ``saturation`` at or above it — the
+    right primitive for deriving CLAMPED parameters, where every
+    n ≥ saturation maps to the same value anyway. Replaces round 2's
+    full-corpus ``df.count()`` (a complete extra pass at 100 TB)."""
+    return df.limit(saturation).count()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -170,13 +180,18 @@ def minhash_lsh_candidates(
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
     if max_bucket is None:
-        n = df.count()
+        # derive_max_bucket's hi clamp saturates at hi² rows, so a
+        # limit-probe bounded at hi² yields the IDENTICAL parameter as
+        # a full count without ever scanning more than 16.7M rows
+        saturation = 4096 * 4096
+        n = bounded_count(df, saturation)
         max_bucket = derive_max_bucket(n)
         import logging
 
         logging.getLogger(__name__).info(
-            "minhash_lsh_candidates: n=%d -> max_bucket=%d "
-            "(clamp(sqrt(n), 64, 4096))", n, max_bucket,
+            "minhash_lsh_candidates: n=%s -> max_bucket=%d "
+            "(clamp(sqrt(n), 64, 4096); probe bounded at %d rows)",
+            f">={n}" if n >= saturation else n, max_bucket, saturation,
         )
     sig_udf = _make_minhash_udf(num_perm, k, mode)
     sig = (
@@ -196,10 +211,31 @@ def minhash_lsh_candidates(
     exploded = sig.select(
         "id", F.explode(band_keys).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = exploded.groupBy("band", "key").agg(
-        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"),
-        F.count("*").alias("bucket_size"),
-    ).filter(F.size("ids") > 1)
+    # membership is capped BEFORE any aggregation buffers it: row_number
+    # over a (band, key) window keeps the max_bucket lowest ids — the
+    # window's sort is disk-spillable (UnsafeExternalSorter), so a
+    # boilerplate mega-bucket (10^9 members at 10^12 docs) streams
+    # through instead of materializing in one collect_list aggregation
+    # state (the round-2 OOM path). Round 2's
+    # slice(sort_array(collect_list(id)), 1, max_bucket) produced the
+    # same ids but only after buffering the WHOLE bucket in memory.
+    from pyspark.sql.window import Window
+
+    bw = Window.partitionBy("band", "key")
+    capped = (
+        exploded
+        .withColumn("__rn", F.row_number().over(bw.orderBy("id")))
+        .withColumn("bucket_size", F.count("*").over(bw))
+        .filter(F.col("__rn") <= max_bucket)
+    )
+    buckets = (
+        capped.groupBy("band", "key")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),  # ≤ max_bucket ids
+            F.max("bucket_size").alias("bucket_size"),
+        )
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
         buckets.select(
             F.explode(
@@ -314,7 +350,8 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, max_iters: int = 20,
-                         _iters_out: list | None = None) -> DataFrame:
+                         _iters_out: list | None = None,
+                         metrics_dir: str | None = None) -> DataFrame:
     """Cluster ids over near-dup pair edges: (id, cluster_id) where
     cluster_id = min member id of the connected component.
 
@@ -330,7 +367,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
     Each iteration checkpoints via localCheckpoint() to cut the plan
     lineage — without it the join tree doubles per round and Catalyst
     analysis cost explodes by iteration ~10. ``_iters_out`` (tests)
-    receives the executed round count."""
+    receives the executed round count; ``metrics_dir`` (production)
+    receives one JSON lineage record (rounds, n_edges, labels changed
+    in the last round, converged flag) so a run can ALARM on
+    non-convergence instead of silently shipping under-merged
+    clusters."""
+    import json
+    import logging
+    import os
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -341,6 +386,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    rounds, changed = 0, 0
     for rounds in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -381,6 +427,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
         labels = updated.withColumnRenamed("new_cluster", "cluster_id")
         if changed == 0:
             break
+    converged = changed == 0 and rounds > 0
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components did NOT converge in %d rounds "
+            "(%d labels still changing) — clusters may be under-merged; "
+            "raise max_iters", rounds, changed,
+        )
+    if metrics_dir is not None:
+        os.makedirs(metrics_dir, exist_ok=True)
+        rec = {
+            "op": "connected_components",
+            "rounds": rounds,
+            "n_edges": edges.count(),
+            "labels_changed_last_round": changed,
+            "converged": converged,
+        }
+        tmp = os.path.join(metrics_dir, ".cc_metrics.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        os.replace(tmp, os.path.join(metrics_dir, "cc_metrics.json"))
     if _iters_out is not None:
         _iters_out.append(rounds)
     return labels
@@ -440,58 +506,122 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
                       n_blocks: int | None = None) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
-    blocking over ``n_blocks`` disjoint bit ranges: two signatures
-    within hamming d share at least one identical block iff
-    n_blocks > d, so the default derives n_blocks = max_hamming + 1
-    (round-1 used a fixed 4 blocks, silently losing recall above
-    hamming 3). Candidates share a (block_idx, block_value) key;
-    verification is JVM-side bit_count(xor).
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, via
+    Manku-style combined-block LSH keys (Manku/Jain/Das Sarma, WWW'07
+    "Detecting Near-Duplicates for Web Crawling" — public algorithm):
+    split the 64-bit signature into b > d blocks; two signatures
+    within hamming d agree on at least b−d whole blocks (pigeonhole),
+    so every combination of q = b−d blocks is one candidate key and
+    C(b, q) key tables guarantee 100% recall. Verification is
+    JVM-side bit_count(xor).
 
-    Scale note: narrower blocks (64 / n_blocks bits) collide more on
-    random data — candidate volume grows ~ n_blocks * n^2 / 2^width
-    per key-space. That is the price of guaranteed recall at higher
-    hamming radii; callers wanting a cheaper approximate search can
-    pass a smaller n_blocks explicitly (recall then guaranteed only
-    to n_blocks - 1)."""
+    Round 2 used q=1 (single-block keys, b = d+1), whose key width
+    64/(d+1) collapses at d=8 (~7-bit keys → quasi-quadratic candidate
+    volume on random data: 86×n pairs at n=500). Combined keys keep
+    width ≈ (b−d)·64/b (~20+ bits at d=8) at the price of C(b, q)
+    exploded rows per doc — candidate volume on random corpora drops
+    by ~2^(width−old_width)/C(b,q) ≈ 300× at d=8 (test-asserted
+    sub-quadratic on a 50k-sig random corpus).
+
+    ``n_blocks`` (explicit) overrides the derived plan; recall is
+    guaranteed only when n_blocks > max_hamming (keys then use
+    q = n_blocks − max_hamming blocks)."""
     sigs = simhash(df, id_col, text_col).withColumnRenamed(id_col, "id")
     return simhash_pairs_from_sigs(sigs, max_hamming, n_blocks)
+
+
+def derive_simhash_blocks(max_hamming: int, table_cap: int = 1024,
+                          max_extra_blocks: int = 16) -> tuple[int, int]:
+    """Choose (n_blocks b, key_blocks q = b − max_hamming): the
+    smallest b whose worst-case combined-key width (sum of the q
+    narrowest blocks) reaches 32 bits subject to C(b, q) ≤ table_cap;
+    if no b reaches 32 bits under the cap, the widest-key b wins.
+    d=0 → (1, 1): one 64-bit key (exact-signature dedup); d=3 →
+    (7, 4): 35 tables of ≥36-bit keys; d=8 → (12, 4): 495 tables of
+    ≥20-bit keys."""
+    from math import comb
+
+    d = max_hamming
+    if not 0 <= d <= 62:
+        raise ValueError(f"max_hamming must be in [0, 62], got {d}")
+    best: tuple[int, int, int] | None = None  # (width, b, q)
+    for b in range(d + 1, min(d + max_extra_blocks, 64) + 1):
+        q = b - d
+        if comb(b, q) > table_cap:
+            continue
+        width = _worst_key_width(b, q)
+        if width >= 32:
+            return b, q
+        if best is None or width > best[0]:
+            best = (width, b, q)
+    if best is None:  # table_cap < b for every b — single-block fallback
+        return d + 1, 1
+    return best[1], best[2]
+
+
+def _worst_key_width(n_blocks: int, q: int) -> int:
+    """Sum of the q narrowest block widths when 64 bits split into
+    n_blocks near-equal blocks."""
+    base, extra = divmod(64, n_blocks)
+    n_narrow = n_blocks - extra  # blocks of `base` bits
+    return q * base + max(0, q - n_narrow)
+
+
+def _simhash_block_vals(n_blocks: int) -> list[Column]:
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
+    vals = []
+    for b in range(n_blocks):
+        v = F.shiftrightunsigned("simhash", offsets[b])
+        if widths[b] < 64:  # (1<<64)-1 overflows signed long; the
+            # shift already isolated a full-width block
+            v = v.bitwiseAND(F.lit((1 << widths[b]) - 1))
+        vals.append(v)
+    return vals
+
+
+def simhash_candidates(sigs: DataFrame, max_hamming: int,
+                       n_blocks: int | None = None) -> DataFrame:
+    """Candidate pairs (id_a, id_b, sh_a, sh_b) sharing at least one
+    combined-block key — the pre-verification stage, factored out so
+    candidate VOLUME (the scale cost) is testable separately from
+    recall. Key = xxhash64(table_id, block values of that table's
+    block subset): equal subsets always collide (recall preserved);
+    hash collisions only ever ADD candidates."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks, q = derive_simhash_blocks(max_hamming)
+    else:
+        if not 1 <= n_blocks <= 64:
+            raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+        q = max(n_blocks - max_hamming, 1)
+    vals = _simhash_block_vals(n_blocks)
+    keys = F.array(*[
+        F.xxhash64(F.lit(t), *[vals[i] for i in combo])
+        for t, combo in enumerate(combinations(range(n_blocks), q))
+    ])
+    keyed = sigs.select("id", "simhash", F.explode(keys).alias("key"))
+    a = keyed.select("key", F.col("id").alias("id_a"),
+                     F.col("simhash").alias("sh_a"))
+    b = keyed.select("key", F.col("id").alias("id_b"),
+                     F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
 
 
 def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int,
                             n_blocks: int | None = None) -> DataFrame:
     """Blocked pair search over precomputed (id, simhash) rows —
     factored out so recall can be unit-tested on planted signatures."""
-    if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if not 1 <= n_blocks <= 64:
-        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
-    base, extra = divmod(64, n_blocks)
-    widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
-    offsets = [sum(widths[:b]) for b in range(n_blocks)]
-    blocks = sigs.select(
-        "id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("blk"),
-                    F.shiftrightunsigned("simhash", offsets[b])
-                    .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                    .alias("val"),
-                )
-                for b in range(n_blocks)
-            ])
-        ).alias("bv"),
-    ).select("id", "simhash", F.col("bv.blk"), F.col("bv.val"))
-    a = blocks.select(F.col("blk"), F.col("val"), F.col("id").alias("id_a"),
-                      F.col("simhash").alias("sh_a"))
-    b = blocks.select(F.col("blk"), F.col("val"), F.col("id").alias("id_b"),
-                      F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        simhash_candidates(sigs, max_hamming, n_blocks)
         .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )

@@ -20,6 +20,7 @@ import math
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -94,13 +95,57 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
 
 
 def bucket_key(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id: bit h set iff dot(vec, plane_h) > 0."""
+    """Sign-bit bucket id: bit h set iff dot(vec, plane_h) > 0.
+
+    Literal-tree variant: emits n_planes x dim scalar literals into
+    one Catalyst expression — fine at test dims, but at production
+    dim (768 x 24 planes ≈ 18k literal nodes) planning+codegen cost
+    dominates (measured: tools/stress_dim768.py, PLANS.md).
+    :func:`hyperplane_lsh_buckets` auto-selects the vectorized
+    matmul UDF (:func:`bucket_key_udf`) above ``_LITERAL_BUDGET``
+    total literals."""
     key = F.lit(0).cast("long")
     v = F.col(vec_col).cast("array<double>")
     for h, plane in enumerate(planes):
         bit = F.when(dot(v, _lit_vec(plane)) > 0, F.lit(1)).otherwise(F.lit(0))
         key = key + (bit.cast("long") * F.lit(int(2 ** h)))
     return key
+
+
+# above this many embedded scalar literals (planes: n_planes x dim;
+# centroids: n_cells x dim) the expression-tree variants pay more in
+# Catalyst planning + codegen than the Arrow hop costs — measured at
+# dim 768 in tools/stress_dim768.py (see PLANS.md)
+_LITERAL_BUDGET = 4096
+
+
+def bucket_key_udf(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id as ONE vectorized matrix multiply per Arrow
+    batch (the MinHash precedent: numpy beats a giant expression
+    tree). Same planes, same >0 test on float64 as
+    :func:`bucket_key`; summation order differs, so a vector whose
+    dot product is within float rounding of zero may land one bucket
+    over — irrelevant to LSH semantics (bucket boundaries are
+    arbitrary), and the driver-side query bucket in :func:`ann_topk`
+    uses the same numpy order."""
+    from pyspark.sql.types import LongType
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0], dtype=np.uint64))
+
+    @F.pandas_udf(LongType())
+    def key(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        # Arrow hands list<float> cells over as per-row ndarrays;
+        # vstack is the no-python-loop batch assembly (tolist() was
+        # 6x slower at dim 768 — see tools/stress_dim768.py)
+        X = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        bits = (X @ P.T) > 0
+        out = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return key(F.col(vec_col))
 
 
 def hyperplane_lsh_buckets(
@@ -112,10 +157,12 @@ def hyperplane_lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     planes = hyperplanes(dim, n_planes, seed)
-    return df.select(
-        F.col(id_col), F.col(vec_col),
-        bucket_key(vec_col, planes).alias("bucket"),
+    key = (
+        bucket_key_udf(vec_col, planes)
+        if planes.size > _LITERAL_BUDGET
+        else bucket_key(vec_col, planes)
     )
+    return df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
 
 
 def ann_topk(
@@ -166,19 +213,36 @@ def pairwise_ann_candidates(
     vec_col: str = "embedding",
     min_cos: float = 0.9,
     seed: int = 42,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: same LSH bucket → exact cosine
     ≥ min_cos. One shuffle on the bucket key; quadratic only within
     buckets (expected size corpus/2^p). ``n_planes=None`` (default)
-    derives the plane count from the corpus size (one cheap count job;
-    see :func:`derive_n_planes`) instead of a scale-blind constant."""
+    derives the plane count from the corpus size — pass ``n_rows`` (an
+    external corpus-size hint, e.g. from table metadata) to skip the
+    probe entirely; otherwise a limit-bounded probe runs (exact below
+    16.7M rows, never a full-corpus count — round 2 ran one). A
+    saturated probe logs and uses the probe bound (planes err LOW:
+    too-few planes costs bucket size, never recall — too MANY planes
+    is the recall killer for single-table hyperplane LSH)."""
     if n_planes is None:
-        n = df.count()
-        n_planes = derive_n_planes(n)
+        if n_rows is None:
+            from .dedup import bounded_count
+
+            saturation = 1 << 24
+            n_rows = bounded_count(df, saturation)
+            if n_rows >= saturation:
+                logger.warning(
+                    "pairwise_ann_candidates: corpus exceeds the %d-row "
+                    "probe bound; using n_planes for n=%d (conservative "
+                    "— pass n_rows= for the true corpus size)",
+                    saturation, saturation,
+                )
+        n_planes = derive_n_planes(n_rows)
         logger.info(
             "pairwise_ann_candidates: n=%d -> n_planes=%d "
             "(ceil(log2(n/32)) clamped to [4,24]; 2^p=%d buckets)",
-            n, n_planes, 2 ** n_planes,
+            n_rows, n_planes, 2 ** n_planes,
         )
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
     a = bucketed.select(
@@ -221,7 +285,11 @@ def ivf_train_centroids(
     (deterministic seed). At 100 TB the sample is still `max_sample`
     rows — training cost is O(sample), never O(corpus); only the
     assignment pass below touches every row."""
-    n = df.count()
+    from .dedup import bounded_count
+
+    # bounded probe: past 2^24 rows the sample fraction is already
+    # ≤ max_sample/2^24 and limit(max_sample) truncates any overdraw
+    n = bounded_count(df, 1 << 24)
     frac = min(1.0, (max_sample * 1.2) / max(n, 1))
     rows = (
         df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_sample).collect()
@@ -250,6 +318,27 @@ def _cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _cell_udf(centroids: np.ndarray):
+    """Vectorized cell assignment: one (batch x dim) @ (dim x cells)
+    matmul per Arrow batch — the scale path for production dims where
+    :func:`_cell_expr`'s n_cells x dim literal tree is codegen-hostile
+    (measured in tools/stress_dim768.py)."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    half_norms = 0.5 * (C * C).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        X = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        scores = X @ C.T - half_norms[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return cell
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -259,10 +348,14 @@ def ivf_assign(
     """Assign every vector to its nearest centroid cell. At scale,
     write this out partitioned by `cell` (or bucketed) so queries
     prune to nprobe cells at the SCAN — the IVF inverted lists ARE the
-    partition layout; no shuffle at query time."""
-    return df.select(
-        F.col(id_col), F.col(vec_col), _cell_expr(vec_col, centroids).alias("cell")
-    )
+    partition layout; no shuffle at query time. Auto-selects the
+    vectorized matmul UDF above ``_LITERAL_BUDGET`` total centroid
+    literals (production dims), the codegen expression below it."""
+    if centroids.size > _LITERAL_BUDGET:
+        cell = _cell_udf(centroids)(F.col(vec_col))
+    else:
+        cell = _cell_expr(vec_col, centroids)
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
 def ivf_topk(

@@ -171,16 +171,25 @@ def decontamination(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word n-gram with an evaluation set (the n-gram-overlap rule used
     for public-benchmark leakage).
+
+    ``normalize=True`` canonicalizes BOTH sides (NFC + casefold +
+    whitespace collapse, :func:`normalize_expr`) before the gram
+    split, so case/unicode noise can't hide an overlap — the standard
+    first stage of a real decontamination pass.
 
     Plan: eval grams → distinct → BROADCAST (eval sets are tiny
     relative to the corpus); training docs explode to (id, gram) and
     hash-join against it — one shuffle for the per-doc count, corpus
     side never collected. At 100 TB the eval-gram set is still a few
     MB, so this stays a map-side join."""
+    if normalize:
+        df = df.withColumn(text_col, normalize_expr(text_col))
+        eval_df = eval_df.withColumn(text_col, normalize_expr(text_col))
     grams = F.expr(_word_grams(text_col, n))
     eval_grams = (
         eval_df.select(F.explode(F.array_distinct(grams)).alias("gram")).distinct()
@@ -204,17 +213,14 @@ def decontamination(
     )
 
 
-def normalize_text(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """Canonical text normalization — the step BEFORE any dedup so
-    that byte-level noise (composed vs decomposed accents, case,
-    run-on whitespace) doesn't defeat fingerprinting: unicode NFC →
-    lowercase → collapse ASCII whitespace runs → strip.
-
-    Arrow-batched pandas UDF (Spark has no builtin NFC); the explicit
-    [ \\t\\n\\r\\f] class (not \\s) keeps Python-regex and RE2/DuckDB
-    semantics identical, so the DuckDB oracle value-checks the output
-    (lower(nfc_normalize(..)) + regexp_replace)."""
+def normalize_expr(text_col: str) -> Column:
+    """Column expression for canonical normalization: unicode NFC →
+    lowercase → collapse ASCII whitespace runs → strip. Arrow-batched
+    pandas UDF (Spark has no builtin NFC); the explicit [ \\t\\n\\r\\f]
+    class (not \\s) keeps Python-regex and RE2/DuckDB semantics
+    identical, so DuckDB oracles can value-check downstream output
+    (lower(nfc_normalize(..)) + regexp_replace). Factored out so
+    dedup/decontamination compose it as a pre-fingerprint step."""
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
@@ -231,7 +237,16 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
 
         return texts.map(one)
 
-    normed = norm(F.col(text_col))
+    return norm(F.col(text_col))
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the step BEFORE any dedup so
+    that byte-level noise (composed vs decomposed accents, case,
+    run-on whitespace) doesn't defeat fingerprinting. See
+    :func:`normalize_expr` for the exact semantics."""
+    normed = normalize_expr(text_col)
     return df.select(
         F.col(id_col),
         normed.alias("norm_text"),

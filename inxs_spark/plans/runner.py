@@ -234,17 +234,38 @@ def _strip_scheme(path: str) -> str:
     )
 
 
-def _group_fingerprint(files: list[str]) -> str:
+def _group_fingerprint(files: list[str], stat_fn=None) -> str:
+    """Change-detection key for a file group: (path, size, mtime_ns)
+    per file. mtime is included so an in-place rewrite that happens to
+    preserve the byte size is still detected (round-2 ADVICE finding:
+    size-only fingerprints silently skipped such groups). A file that
+    cannot be statted FAILS the run instead of degrading to a
+    path-list check that would treat changed content as already
+    extracted — non-local URIs (s3://, hdfs://) need a ``stat_fn``
+    (path → (size, mtime_ns)) backed by the filesystem API."""
     import hashlib
 
     entries = []
     for f in sorted(files):
-        local = _strip_scheme(f)
-        try:
-            size = os.path.getsize(local)
-        except OSError:
-            size = -1
-        entries.append(f"{f}:{size}")
+        if stat_fn is not None:
+            size, mtime_ns = stat_fn(f)
+        else:
+            local = _strip_scheme(f)
+            if "://" in local:
+                raise ValueError(
+                    f"cannot stat non-local input file {f!r}: incremental "
+                    "change detection needs a stat_fn for remote "
+                    "filesystems (size+mtime via the storage API)"
+                )
+            try:
+                st = os.stat(local)
+            except OSError as exc:
+                raise ValueError(
+                    f"cannot stat input file {f!r} for incremental "
+                    f"change detection: {exc}"
+                ) from exc
+            size, mtime_ns = st.st_size, st.st_mtime_ns
+        entries.append(f"{f}:{size}:{mtime_ns}")
     return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
 
 
@@ -257,6 +278,7 @@ def run_extraction_incremental(
     num_partitions: Optional[int] = None,
     salt_buckets: int = 64,
     run_id: Optional[str] = None,
+    stat_fn=None,
 ) -> dict:
     """Extraction over a GROWING input (daily appends — the mode the
     strict :func:`run_extraction` gate deliberately rejects).
@@ -299,7 +321,7 @@ def run_extraction_incremental(
     rows_total = 0
     ran, skipped = [], []
     for k in sorted(group_files):
-        fp_k = _group_fingerprint(group_files[k])
+        fp_k = _group_fingerprint(group_files[k], stat_fn=stat_fn)
         prev = existing.get(k)
         if prev is not None and prev.get("group_fingerprint") == fp_k:
             skipped.append(k)

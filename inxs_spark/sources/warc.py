@@ -113,6 +113,22 @@ def _records_from_file(path_bytes: bytes, path: str) -> Iterator[tuple]:
         if h.get("warc-type") != "response":
             continue
         status, http_headers, body = parse_http_response(rec["block"])
+        ctype = http_headers.get("content-type")
+        # binary payloads (images, PDFs — common in real WARC response
+        # records) must not flow downstream as replacement-character
+        # mojibake "text": gate on the declared content type, keeping
+        # text/* and the XML application types; records WITHOUT a
+        # content-type header stay (tolerant default — many archives
+        # omit it for HTML)
+        main = (ctype or "").split(";")[0].strip().lower()
+        if main and not (
+            main.startswith("text/")
+            or main in ("application/xhtml+xml", "application/xml")
+        ):
+            yield (path, idx, h.get("warc-target-uri"), h.get("warc-date"),
+                   status, ctype, None, "non_text")
+            idx += 1
+            continue
         try:
             html = body.decode("utf-8", errors="replace")
             failure = None
@@ -123,7 +139,7 @@ def _records_from_file(path_bytes: bytes, path: str) -> Iterator[tuple]:
             h.get("warc-target-uri"),
             h.get("warc-date"),
             status,
-            http_headers.get("content-type"),
+            ctype,
             html,
             failure,
         )

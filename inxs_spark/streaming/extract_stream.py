@@ -47,6 +47,7 @@ def streaming_extract(
     )
     out_path = os.path.join(out_root, "extracted_stream")
     checkpoint = os.path.join(out_root, "checkpoint")
+    _reject_legacy_sink_layout(out_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _write_microbatch(batch_df, out_path, batch_id, num_partitions)
@@ -58,6 +59,28 @@ def streaming_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _reject_legacy_sink_layout(out_path: str) -> None:
+    """The batch_id=<id> partition-directory sink cannot share an
+    out_path with the old flat append-mode sink: root-level parquet
+    files mixed with partition directories make Spark's partition
+    discovery reject (or inconsistently read) the table. Fail fast
+    with a migration message instead (round-2 ADVICE finding)."""
+    if not os.path.isdir(out_path):
+        return
+    root_files = [
+        n for n in os.listdir(out_path)
+        if n.endswith(".parquet") and os.path.isfile(os.path.join(out_path, n))
+    ]
+    if root_files:
+        raise ValueError(
+            f"output path {out_path!r} contains {len(root_files)} root-level "
+            "parquet file(s) from a legacy append-mode sink; partition "
+            "discovery cannot mix flat files with batch_id=<id> directories. "
+            "Start with a fresh out_root, or move the old files into a "
+            "batch_id=-1 partition directory first."
+        )
 
 
 def _write_microbatch(

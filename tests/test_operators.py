@@ -154,6 +154,34 @@ class TestDedup:
         assert set(got.values()) == {0} and len(got) == n + 1
         assert iters[0] <= 10, iters
 
+    def test_connected_components_metrics_lineage(self, spark, tmp_path):
+        """Production lineage: the CC run writes a metrics record with
+        round count + convergence flag so non-convergence at max_iters
+        can alarm instead of silently shipping under-merged clusters."""
+        import json
+
+        from inxs_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        mdir = str(tmp_path / "metrics")
+        connected_components(pairs, metrics_dir=mdir).collect()
+        rec = json.loads(open(f"{mdir}/cc_metrics.json").read())
+        assert rec["op"] == "connected_components"
+        assert rec["converged"] is True and rec["rounds"] >= 1
+        assert rec["n_edges"] == 6  # 3 undirected pairs → 6 directed
+        assert rec["labels_changed_last_round"] == 0
+
+        # exhausting max_iters on a long chain: converged=False recorded
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(500)], "id_a long, id_b long"
+        )
+        connected_components(chain, max_iters=2, metrics_dir=mdir).collect()
+        rec2 = json.loads(open(f"{mdir}/cc_metrics.json").read())
+        assert rec2["converged"] is False
+        assert rec2["labels_changed_last_round"] > 0
+
     def test_normalize_text(self, spark):
         from inxs_spark.operators.text import normalize_text
 
@@ -220,6 +248,44 @@ class TestDedup:
                                    "after_near_dup_prune",
                                    "after_quality_lang_gate", "output")]
         assert vals == sorted(vals, reverse=True)
+
+    def test_curation_normalizes_before_dedup(self, spark):
+        """Mixed-case/whitespace-variant duplicates collapse when
+        normalize=True (the default) and survive when normalize=False;
+        kept rows retain their ORIGINAL text."""
+        from inxs_spark.jobs.curate import curate
+
+        rows = [
+            (1, "The Quick Brown Fox jumps over the lazy dog today", "en"),
+            (2, "the  quick  brown fox JUMPS over the lazy dog today", "en"),
+            (3, "an entirely different document about something new here", "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        _, stats_norm = curate(df, min_quality=0.0)
+        assert stats_norm["after_exact_dedup"] == 2  # 1≡2 under normalization
+        curated, stats_raw = curate(df, min_quality=0.0, normalize=False)
+        assert stats_raw["after_exact_dedup"] == 3   # byte-distinct raw
+        kept = {r.doc_id: r.text for r in curated.collect()}
+        assert kept[1] == rows[0][1]  # original casing preserved
+        assert "__norm_text" not in curated.columns
+
+    def test_decontamination_normalized(self, spark):
+        """A case/whitespace-disguised eval overlap is caught only with
+        normalize=True."""
+        from inxs_spark.operators.text import decontamination
+
+        train = spark.createDataFrame(
+            [(20, "The SECRET Benchmark Answer Key is here in this doc")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(1, "the secret benchmark answer key is published")],
+            "doc_id long, text string",
+        )
+        raw = decontamination(train, ev, n=5).collect()[0]
+        assert raw.contaminated == 0
+        normed = decontamination(train, ev, n=5, normalize=True).collect()[0]
+        assert normed.contaminated == 1 and normed.n_hits >= 1
 
     def test_approx_distinct_error_bound(self, spark):
         """HLL++ sketch distinct counts stay within the configured
@@ -332,10 +398,118 @@ class TestDedup:
         rows = cands.collect()
         # capped at 10 ids → at most C(10,2)=45 pairs, never C(50,2)
         assert 0 < len(rows) <= 45
-        assert all(r.max_bucket_size == 50 for r in rows)  # cap is visible
+
+    def test_minhash_mega_bucket_bounded_memory(self, spark):
+        """One boilerplate mega-bucket (200k identical docs → every
+        band key identical) must stream through the row_number cap
+        instead of buffering 200k ids in one collect_list state; the
+        dropped coverage is surfaced, never silent."""
+        from inxs_spark.operators.dedup import minhash_lsh_candidates
+
+        n = 200_000
+        df = (
+            spark.range(n)
+            .selectExpr(
+                "id as doc_id",
+                "'mega bucket boilerplate text identical everywhere' as text",
+            )
+        )
+        cands = minhash_lsh_candidates(
+            df, num_perm=16, bands=4, max_bucket=16
+        )
+        rows = cands.collect()
+        # 16-id cap → ≤ C(16,2) = 120 pairs out of C(200k,2) ≈ 2e10
+        assert 0 < len(rows) <= 120
+        assert all(r.max_bucket_size == n for r in rows)
+        assert all(r.max_dropped == n - 16 for r in rows)
+
+    def test_simhash_candidate_volume_subquadratic(self, spark):
+        """Scale contract at the hamming-8 radius: on a 50k-signature
+        RANDOM corpus the combined-block keys must emit a near-linear
+        candidate volume. Round 2's single-block 7-bit keys emitted
+        ~n²/2⁷ (86×n pairs already at n=500); the Manku-style plan
+        (b=12, q=4, ≥20-bit keys) keeps it to a few ×n."""
+        from inxs_spark.operators.dedup import (
+            derive_simhash_blocks,
+            simhash_candidates,
+        )
+
+        b, q = derive_simhash_blocks(8)
+        assert b == 12 and q == 4  # 495 tables, worst-case 20-bit keys
+        n = 50_000
+        sigs = spark.range(n).selectExpr(
+            "id", "xxhash64(id) as simhash"
+        )
+        n_cands = simhash_candidates(sigs, max_hamming=8).count()
+        assert n_cands < 30 * n, n_cands  # vs C(n,2)/2^7 ≈ 9.8e6 before
+
+    def test_simhash_block_plan_widths(self):
+        from inxs_spark.operators.dedup import derive_simhash_blocks
+
+        assert derive_simhash_blocks(0) == (1, 1)   # one 64-bit key
+        b3, q3 = derive_simhash_blocks(3)
+        assert q3 == b3 - 3 and q3 * (64 // b3) >= 30
+        with pytest.raises(ValueError):
+            derive_simhash_blocks(63)
+
+    def test_simhash_full_width_block_plan_runs(self, spark):
+        """max_hamming=0 derives one 64-bit block — the (1<<64)-1 mask
+        would overflow signed long; the full-width block must skip the
+        mask (round-2 ADVICE finding)."""
+        from inxs_spark.operators.dedup import simhash_pairs_from_sigs
+
+        sigs = spark.createDataFrame(
+            [(1, 42), (2, 42), (3, -17)], "id long, simhash long"
+        )
+        got = {(r.id_a, r.id_b) for r in
+               simhash_pairs_from_sigs(sigs, max_hamming=0).collect()}
+        assert got == {(1, 2)}
+
+    def test_bounded_count(self, spark):
+        from inxs_spark.operators.dedup import bounded_count
+
+        df = spark.range(1000)
+        assert bounded_count(df, 5000) == 1000   # exact below saturation
+        assert bounded_count(df, 100) == 100     # clamped at saturation
 
 
 class TestSimilarity:
+    def test_bucket_key_udf_matches_literal_tree(self, spark):
+        """The production-dim matmul UDF and the codegen literal tree
+        must assign identical LSH buckets and IVF cells (the auto-
+        switch at _LITERAL_BUDGET must not change results)."""
+        import numpy as np
+
+        from inxs_spark.operators.similarity import (
+            _cell_expr,
+            _cell_udf,
+            bucket_key,
+            bucket_key_udf,
+            hyperplanes,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 16), "
+                "j -> cast(pmod(xxhash64(id, j), 997) as double) / 498.5 - 1.0)"
+            ).alias("embedding"),
+        )
+        planes = hyperplanes(16, 10, seed=42)
+        both = df.select(
+            "vec_id",
+            bucket_key("embedding", planes).alias("lit"),
+            bucket_key_udf("embedding", planes).alias("udf"),
+        ).collect()
+        assert all(r.lit == r.udf for r in both)
+        cents = np.random.default_rng(3).standard_normal((8, 16))
+        cells = df.select(
+            "vec_id",
+            _cell_expr("embedding", cents).alias("lit"),
+            _cell_udf(cents)(F.col("embedding")).alias("udf"),
+        ).collect()
+        assert all(r.lit == r.udf for r in cells)
+
     def test_cosine_topk_exact(self, spark):
         from inxs_spark.operators.similarity import cosine_topk
 

@@ -44,6 +44,38 @@ def test_read_warc_plain_and_gzip(spark, tmp_out):
     assert all(r.content_type == "text/html" for r in rows)
 
 
+def test_warc_non_text_content_gated(spark, tmp_out):
+    """Binary payloads (image/pdf content types) must be flagged
+    failure='non_text' with no mojibake html, and must NOT reach the
+    extraction input via warc_to_turns; records WITHOUT a content-type
+    header stay (tolerant default)."""
+    from inxs_spark.sources.warc import _build_record, read_warc, warc_to_turns
+
+    d = os.path.join(tmp_out, "warc_bin")
+    os.makedirs(d, exist_ok=True)
+    recs = [
+        _build_record("https://x.test/html", "2026-01-01T00:00:00Z",
+                      b"<html><p>keep me</p></html>"),
+        _build_record("https://x.test/png", "2026-01-01T00:00:00Z",
+                      b"\x89PNG\r\n\x1a\n\x00binary", ctype="image/png"),
+        _build_record("https://x.test/pdf", "2026-01-01T00:00:00Z",
+                      b"%PDF-1.4 \xff\xfebinary", ctype="application/pdf"),
+        _build_record("https://x.test/xhtml", "2026-01-01T00:00:00Z",
+                      b"<html><p>xhtml ok</p></html>",
+                      ctype="application/xhtml+xml; charset=utf-8"),
+    ]
+    with open(os.path.join(d, "mix.warc"), "wb") as fh:
+        fh.write(b"".join(recs))
+    rows = {r.url: r for r in read_warc(spark, d).collect()}
+    assert rows["https://x.test/png"].failure == "non_text"
+    assert rows["https://x.test/png"].html is None
+    assert rows["https://x.test/pdf"].failure == "non_text"
+    assert rows["https://x.test/html"].failure is None
+    assert rows["https://x.test/xhtml"].failure is None
+    kept = {r.conv_id for r in warc_to_turns(read_warc(spark, d)).collect()}
+    assert kept == {"https://x.test/html", "https://x.test/xhtml"}
+
+
 def test_warc_extraction_parity(spark, tmp_out):
     """WARC → turns → extract_df must byte-match the serial kernel on
     every page (the north-rule invariant on the web-archive source)."""
