@@ -617,6 +617,34 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: lines
+    byte-identical across ≥ min_docs documents (planted cookie banner
+    + footer) are dropped, per-document content and unique lines
+    survive in original order. Value-checked via md5 of the cleaned
+    text."""
+    from inxs_spark.operators.text import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("cookie notice accept all terms"),
+            F.col("text"),
+            F.concat(F.lit("unique line for doc "),
+                     F.col("doc_id").cast("string")),
+            F.lit("copyright footer example site"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(docs, min_docs=50)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        "n_lines_in",
+        "n_lines_kept",
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup clusters over the EXACT n-gram
     Jaccard pairs (deterministic edge set → oracle-checkable): the
@@ -1126,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_parity": q_warc_parity,
         "q_dedup_clusters": q_dedup_clusters,
         "q_text_normalize": q_text_normalize,
+        "q_boilerplate_lines": q_boilerplate_lines,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1509,6 +1538,39 @@ def oracle_sql() -> dict[str, str]:
                    length(norm_text) AS n_norm_chars,
                    md5(norm_text) AS norm_md5
             FROM n ORDER BY doc_id
+        """,
+        "q_boilerplate_lines": """
+            WITH aug AS (
+              SELECT doc_id,
+                     'cookie notice accept all terms' || chr(10) || text
+                     || chr(10) || 'unique line for doc '
+                     || CAST(doc_id AS VARCHAR) || chr(10)
+                     || 'copyright footer example site' AS text
+              FROM documents
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM aug
+            ), lines AS (
+              -- parallel unnests zip in DuckDB → (line, 1-based pos)
+              SELECT doc_id, unnest(l) AS line,
+                     unnest(range(1, len(l) + 1)) AS pos
+              FROM split
+            ), freq AS (
+              SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines
+              WHERE trim(line) != '' GROUP BY line
+            ), black AS (SELECT line FROM freq WHERE n_docs >= 50),
+            kept AS (
+              SELECT l.doc_id, l.line, l.pos FROM lines l
+              LEFT JOIN black b USING (line) WHERE b.line IS NULL
+            ), re AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+                     count(*) AS n_lines_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   md5(coalesce(r.clean, '')) AS clean_md5,
+                   len(s.l) AS n_lines_in,
+                   coalesce(r.n_lines_kept, 0) AS n_lines_kept
+            FROM split s LEFT JOIN re r USING (doc_id) ORDER BY s.doc_id
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE g AS (

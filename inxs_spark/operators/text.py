@@ -255,6 +255,76 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def line_doc_freq(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Distinct-document frequency per exact line: (line_md5, n_docs).
+    The aggregation key is the 16-byte md5, never the line text — the
+    only corpus-wide shuffle carries (hash, doc_id) pairs."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+    ).filter(F.trim("line") != "")
+    return (
+        lines.select(F.md5("line").alias("line_md5"), "__id")
+        .groupBy("line_md5")
+        .agg(F.countDistinct("__id").cast("long").alias("n_docs"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 10,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: drop
+    every line that appears (byte-identical) in ≥ ``min_docs``
+    distinct documents — cookie banners, nav bars, footers — and
+    reassemble each document from its surviving lines in original
+    order. Returns (id, text, n_lines_in, n_lines_kept); documents
+    whose every line was boilerplate survive with text=''.
+
+    Scale shape: one hash-aggregate over (line_md5, doc_id) builds the
+    frequency table; the blacklist (lines in ≥ min_docs docs) is tiny
+    BY CONSTRUCTION — boilerplate is few distinct strings repeated
+    everywhere — so the removal is a broadcast LEFT ANTI join against
+    16-byte hashes (corpus lines never shuffle for it); the only other
+    exchange is the per-document reassembly groupBy. All JVM-side:
+    split/explode/md5/sort_array/concat_ws, no Python."""
+    freq = line_doc_freq(df, id_col, text_col, sep)
+    blacklist = freq.filter(F.col("n_docs") >= min_docs).select("line_md5")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    kept = lines.join(
+        F.broadcast(blacklist),
+        F.md5(F.col("line")) == F.col("line_md5"),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+        ).alias("__clean"),
+        F.count("*").cast("long").alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines_in"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            "n_lines_in",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        )
+    )
+
+
 def compression_ratio(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", level: int = 6) -> DataFrame:
     """zlib compression ratio per document (compressed/raw bytes) — the

@@ -135,6 +135,38 @@ def streaming_conversation_sessions(
     )
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "1 hour",
+    reader_options: Optional[dict] = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each distinct
+    payload within the watermark horizon, via
+    ``dropDuplicatesWithinWatermark`` on the 16-byte md5 digest (never
+    the payload itself — the dedup state stores digests only).
+
+    State is BOUNDED: a digest's dedup entry is evicted once the
+    watermark passes its event time, so at 10^12 turns the store holds
+    only the horizon's worth of fingerprints — the streaming analogue
+    of the batch exact_dedup, with the standard caveat that a
+    duplicate arriving after its original's eviction is kept (exact
+    dedup over an unbounded stream needs unbounded state; the
+    watermark IS the contract). Returns the streaming DataFrame
+    (original columns); callers attach a sink."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_path)
+    cols = stream.columns
+    return (
+        stream.withColumn("__fp", F.md5(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .select(*cols)
+    )
+
+
 def streaming_turn_rates(
     spark: SparkSession,
     input_path: str,

@@ -269,6 +269,31 @@ class TestDedup:
         assert kept[1] == rows[0][1]  # original casing preserved
         assert "__norm_text" not in curated.columns
 
+    def test_remove_boilerplate_lines(self, spark):
+        """Planted banner/footer lines (in every doc) are removed,
+        unique content survives in ORIGINAL order, all-boilerplate
+        docs come back with empty text, counts are surfaced."""
+        from inxs_spark.operators.text import remove_boilerplate_lines
+
+        banner, footer = "accept cookies", "footer (c) site"
+        rows = [
+            (1, f"{banner}\nalpha one\nbeta two\n{footer}"),
+            (2, f"{banner}\ngamma three\n{footer}"),
+            (3, f"{banner}\n{footer}"),
+            (4, f"{banner}\ndelta four\nepsilon five\n{footer}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               remove_boilerplate_lines(df, min_docs=4).collect()}
+        assert out[1].text == "alpha one\nbeta two"
+        assert out[2].text == "gamma three"
+        assert out[3].text == "" and out[3].n_lines_kept == 0
+        assert out[4].text == "delta four\nepsilon five"
+        assert out[1].n_lines_in == 4 and out[1].n_lines_kept == 2
+        # below the threshold nothing is removed
+        kept_all = remove_boilerplate_lines(df, min_docs=5).collect()
+        assert all(r.n_lines_kept == r.n_lines_in for r in kept_all)
+
     def test_decontamination_normalized(self, spark):
         """A case/whitespace-disguised eval overlap is caught only with
         normalize=True."""

@@ -95,6 +95,32 @@ def test_streaming_windowed_counts(spark, tiny_transcripts, tmp_out):
     assert 0 < total <= n_input
 
 
+def test_streaming_exact_dedup(spark, tiny_transcripts, tmp_out):
+    """Streaming dedup keeps one row per distinct payload within the
+    watermark horizon and reconciles with the batch distinct count;
+    dedup state is keyed on digests, and surviving rows keep their
+    original columns."""
+    from inxs_spark.streaming.extract_stream import streaming_exact_dedup
+
+    out = streaming_exact_dedup(spark, tiny_transcripts)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_out, "cp_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    rows = spark.sql("select * from stream_dedup_test").collect()
+    batch = spark.read.parquet(tiny_transcripts)
+    n_distinct = batch.select("text").distinct().count()
+    # one bounded batch inside one watermark horizon → exact parity
+    assert len(rows) == n_distinct
+    assert len({r.text for r in rows}) == len(rows)
+    assert set(rows[0].asDict()) == set(batch.columns)
+
+
 def test_kernel_cli_roundtrip(tmp_out):
     doc = os.path.join(tmp_out, "doc.xml")
     with open(doc, "w") as fh:
