@@ -645,6 +645,32 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RFC 3986 §6 subset: fragment, case,
+    default port, utm_* params, param order, trailing slash) over
+    deterministically synthesized messy URLs — the key-maker for
+    URL-level dedup and per-domain quotas; value-checked against the
+    same rules expressed in DuckDB."""
+    from inxs_spark.operators.urls import canonical_urls
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=news&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    return (
+        canonical_urls(urls, "url")
+        .join(urls.select("doc_id", "url"), "url")
+        .select("doc_id", "url", "canonical_url", "host", "registered_domain")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup clusters over the EXACT n-gram
     Jaccard pairs (deterministic edge set → oracle-checkable): the
@@ -1155,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_text_normalize": q_text_normalize,
         "q_boilerplate_lines": q_boilerplate_lines,
+        "q_url_canonicalize": q_url_canonicalize,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1538,6 +1565,58 @@ def oracle_sql() -> dict[str, str]:
                    length(norm_text) AS n_norm_chars,
                    md5(norm_text) AS norm_md5
             FROM n ORDER BY doc_id
+        """,
+        "q_url_canonicalize": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                     'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                     || '/?utm_source=news&b=2&a=1#frag' AS url
+              FROM documents
+            ), s1 AS (  -- strip fragment
+              SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '') AS u
+              FROM urls
+            ), s2 AS (  -- lowercase authority
+              SELECT doc_id, url,
+                     lower(regexp_extract(u,
+                         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                     || regexp_replace(u,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
+              FROM s1
+            ), s3 AS (  -- default ports
+              SELECT doc_id, url,
+                     regexp_replace(
+                       regexp_replace(u, '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+                       '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u
+              FROM s2
+            ), s4 AS (  -- drop utm_*, sort params
+              SELECT doc_id, url,
+                     regexp_replace(u, '\?.*$', '') AS base,
+                     list_sort(list_filter(
+                         string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+                         p -> p != '' AND NOT starts_with(p, 'utm_'))) AS params
+              FROM s3
+            ), s5 AS (
+              SELECT doc_id, url,
+                     CASE WHEN len(params) = 0 THEN base
+                          ELSE base || '?' || array_to_string(params, '&')
+                     END AS u
+              FROM s4
+            ), s6 AS (  -- trailing slash on non-root path
+              SELECT doc_id, url,
+                     regexp_replace(u,
+                         '(://[^/?#]+/[^?#]*[^/?#])/(\?|$)', '\1\2') AS canonical_url
+              FROM s5
+            )
+            SELECT doc_id, url, canonical_url,
+                   regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS host,
+                   regexp_extract(
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
+                       '([^.]+\.[^.]+)$', 1) AS registered_domain
+            FROM s6 ORDER BY doc_id
         """,
         "q_boilerplate_lines": """
             WITH aug AS (

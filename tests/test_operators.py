@@ -294,6 +294,39 @@ class TestDedup:
         kept_all = remove_boilerplate_lines(df, min_docs=5).collect()
         assert all(r.n_lines_kept == r.n_lines_in for r in kept_all)
 
+    def test_url_canonicalization(self, spark):
+        from inxs_spark.operators.urls import canonical_urls, url_dedup_groups
+
+        cases = [
+            # (input, expected canonical)
+            ("HTTPS://Example.COM:443/Path/?b=2&a=1&utm_source=x#frag",
+             "https://example.com/Path?a=1&b=2"),
+            ("http://a.example.org:80/", "http://a.example.org/"),
+            ("http://x.com/p?utm_a=1", "http://x.com/p"),
+            ("https://X.com/p#only-frag", "https://x.com/p"),
+            ("http://user:pw@Host.example.com:8080/q?z=1",
+             "http://user:pw@host.example.com:8080/q?z=1"),
+            ("https://site.net/a/b/", "https://site.net/a/b"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = {r.url: r for r in canonical_urls(df).collect()}
+        for u, want in cases:
+            assert got[u].canonical_url == want, (u, got[u].canonical_url)
+        assert got[cases[0][0]].host == "example.com"
+        assert got[cases[0][0]].registered_domain == "example.com"
+        assert got[cases[4][0]].host == "host.example.com"
+        assert got[cases[4][0]].registered_domain == "example.com"
+        # variants of one canonical URL form a dedup group
+        variants = spark.createDataFrame(
+            [("https://d.com/x?a=1&b=2",),
+             ("HTTPS://D.COM:443/x?b=2&a=1&utm_c=3",),
+             ("https://d.com/other",)],
+            "url string",
+        )
+        groups = url_dedup_groups(variants).collect()
+        assert len(groups) == 1 and groups[0].n_variants == 2
+        assert groups[0].canonical_url == "https://d.com/x?a=1&b=2"
+
     def test_decontamination_normalized(self, spark):
         """A case/whitespace-disguised eval overlap is caught only with
         normalize=True."""
