@@ -645,6 +645,55 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BOILER20 = (
+    "shared verbatim boilerplate paragraph token alpha beta gamma delta "
+    "epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+)  # exactly 20 tokens = 2 aligned 10-token windows
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing (training-data mixture weights):
+    keep 100% of en, 50% of de, 10% of fr, 0% of everything else,
+    decided by a cross-engine md5 ticket — per-language kept counts
+    and an id-set digest are value-checked against DuckDB applying the
+    identical rule."""
+    from inxs_spark.operators.text import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = weighted_mix(docs, {"en": 1.0, "de": 0.5, "fr": 0.1},
+                         key_col="lang", id_col="doc_id")
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            # order-insensitive id-set digest: SUM of per-id hashes
+            F.sum(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                       16, 10).cast("long")
+            ).cast("long").alias("id_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repetition at window granularity (the Lee-et-al
+    dedup signal): a 20-token boilerplate paragraph is PREPENDED to
+    every 5th document (prepend keeps windows aligned across docs), so
+    those documents share their first two 10-token windows; per-doc
+    repeated-window stats are value-checked against DuckDB."""
+    from inxs_spark.operators.text import repeated_window_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_BOILER20 + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repeated_window_stats(docs, window_tokens=10).orderBy("doc_id")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (RFC 3986 §6 subset: fragment, case,
     default port, utm_* params, param order, trailing slash) over
@@ -1182,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_normalize": q_text_normalize,
         "q_boilerplate_lines": q_boilerplate_lines,
         "q_url_canonicalize": q_url_canonicalize,
+        "q_repeated_windows": q_repeated_windows,
+        "q_weighted_mix": q_weighted_mix,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1565,6 +1616,57 @@ def oracle_sql() -> dict[str, str]:
                    length(norm_text) AS n_norm_chars,
                    md5(norm_text) AS norm_md5
             FROM n ORDER BY doc_id
+        """,
+        "q_weighted_mix": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 6))
+                       AS BIGINT) % 1000000 AS ticket
+              FROM documents
+            ), kept AS (
+              SELECT doc_id, lang FROM t
+              WHERE (lang = 'en' AND ticket < 1000000)
+                 OR (lang = 'de' AND ticket < 500000)
+                 OR (lang = 'fr' AND ticket < 100000)
+            )
+            SELECT lang,
+                   count(*) AS n_kept,
+                   CAST(sum(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS id_digest
+            FROM kept GROUP BY lang ORDER BY lang
+        """,
+        "q_repeated_windows": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       'shared verbatim boilerplate paragraph token alpha '
+                       || 'beta gamma delta epsilon zeta eta theta iota '
+                       || 'kappa lambda mu nu xi omicron ' || text
+                     ELSE text END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM aug
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(l), 1) + 1, 10),
+                         s -> md5(array_to_string(list_slice(l, s, s + 9), ' '))
+                     )) AS w_md5
+              FROM t
+            ), freq AS (
+              SELECT w_md5, count(*) AS occ FROM w GROUP BY w_md5
+            ), m AS (
+              SELECT doc_id, (occ >= 2) AS rep FROM w JOIN freq USING (w_md5)
+            )
+            SELECT doc_id,
+                   count(*) AS n_windows,
+                   CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_repeated_windows,
+                   round(CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS repeated_frac
+            FROM m GROUP BY doc_id ORDER BY doc_id
         """,
         "q_url_canonicalize": r"""
             WITH urls AS (

@@ -354,6 +354,98 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repeated_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring-repetition signal at fixed window granularity
+    (the tractable form of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — public paper — which removes
+    verbatim cross-document substrings): split every document into
+    non-overlapping ``window_tokens``-token windows, count corpus-wide
+    occurrences of each window, and report per document how much of it
+    is corpus-repeated. Output: (id, n_windows, n_repeated_windows,
+    repeated_frac).
+
+    Scale shape: windows hash to 16-byte digests AT THE SCAN (split/
+    slice/md5 — codegen, no Python); one hash-aggregate over digests
+    builds the frequency table; one digest join marks repeated windows
+    (AQE broadcasts when the repeated set is small, which verbatim
+    boilerplate makes likely); one groupBy reassembles per-doc stats.
+    Window text never shuffles — only digests do. Tokenization is
+    whitespace-exact so the DuckDB oracle can value-check."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(window_tokens))
+    windows = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("__start"),
+        toks.alias("__toks"),
+    ).select(
+        id_col,
+        F.md5(
+            F.array_join(F.slice("__toks", F.col("__start"), window_tokens), " ")
+        ).alias("w_md5"),
+    )
+    freq = windows.groupBy("w_md5").agg(F.count("*").alias("__occ"))
+    marked = windows.join(freq, "w_md5").select(
+        id_col, (F.col("__occ") >= min_occurrences).alias("__rep")
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.col("__rep").cast("long")).cast("long").alias("n_repeated_windows"),
+        F.round(
+            F.sum(F.col("__rep").cast("long")) / F.count("*"), 4
+        ).alias("repeated_frac"),
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic source mixing: keep each row with probability
+    ``weights[key]`` (keys absent from the dict are dropped), decided
+    by a hash of the row id — NOT rand() — so the mix is reproducible
+    run-to-run, stable under retries/partial recomputation (a Spark
+    task retry re-evaluates rand() and silently changes the sample),
+    and adjustable via ``salt``. This is the down-weighting step of a
+    training-data mixture (e.g. 10% of crawl, 100% of curated).
+
+    Pure codegen: one map over the scan, no shuffle, no Python. The
+    ticket is the first 6 hex digits of md5(id:salt) mod 1e6 (md5, not
+    xxhash64, so the SAME ticket is expressible in DuckDB/Trino/etc. —
+    cross-engine reproducibility is part of the mix contract); the
+    filter pipelines into the scan stage at 100 TB."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {k!r} must be in [0,1], got {w}")
+    ticket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                  F.lit(str(salt)))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    cond = F.lit(False)
+    for k, w in sorted(weights.items()):
+        thr = int(round(w * 1_000_000))
+        cond = cond | ((F.col(key_col) == k) & (ticket < thr))
+    return df.filter(cond)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

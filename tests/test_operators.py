@@ -294,6 +294,50 @@ class TestDedup:
         kept_all = remove_boilerplate_lines(df, min_docs=5).collect()
         assert all(r.n_lines_kept == r.n_lines_in for r in kept_all)
 
+    def test_repeated_window_stats(self, spark):
+        """Planted aligned 4-token repetition across docs is counted;
+        unique windows are not; the short tail window counts as one."""
+        from inxs_spark.operators.text import repeated_window_stats
+
+        shared = "w1 w2 w3 w4"  # one aligned window shared by docs 1+2
+        rows = [
+            (1, f"{shared} a b c d e"),     # 3 windows (4+4+1), 1 repeated
+            (2, f"{shared} f g h i"),       # 2+tail: windows 4,4 → 2 windows
+            (3, "x y z unique only here"),  # no repetition
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               repeated_window_stats(df, window_tokens=4).collect()}
+        assert got[1].n_windows == 3 and got[1].n_repeated_windows == 1
+        assert got[2].n_windows == 2 and got[2].n_repeated_windows == 1
+        assert got[3].n_repeated_windows == 0
+        assert got[1].repeated_frac == round(1 / 3, 4)
+
+    def test_weighted_mix_deterministic(self, spark):
+        """Mixing is reproducible (same ids every run), respects
+        weight bounds, drops unlisted keys, and shifts with salt."""
+        from inxs_spark.operators.text import weighted_mix
+
+        df = spark.createDataFrame(
+            [(i, "crawl" if i % 2 else "curated") for i in range(2000)],
+            "doc_id long, src string",
+        )
+        w = {"curated": 1.0, "crawl": 0.25}
+        a = {r.doc_id for r in weighted_mix(df, w, key_col="src").collect()}
+        b = {r.doc_id for r in weighted_mix(df, w, key_col="src").collect()}
+        assert a == b  # deterministic, not rand()
+        n_curated = sum(1 for i in a if i % 2 == 0)
+        n_crawl = len(a) - n_curated
+        assert n_curated == 1000          # weight 1.0 keeps all
+        assert 150 < n_crawl < 350        # ~25% of 1000
+        salted = {r.doc_id for r in
+                  weighted_mix(df, w, key_col="src", salt=1).collect()}
+        assert salted != a                # salt reshuffles the sample
+        dropped = weighted_mix(df, {"curated": 1.0}, key_col="src").count()
+        assert dropped == 1000            # unlisted key → dropped
+        with pytest.raises(ValueError):
+            weighted_mix(df, {"curated": 1.5}, key_col="src")
+
     def test_url_canonicalization(self, spark):
         from inxs_spark.operators.urls import canonical_urls, url_dedup_groups
 
