@@ -676,6 +676,29 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment via the
+    cross-engine md5 ticket (stable under corpus growth and task
+    retries — no rand(), no global sort); per-(lang, split) counts and
+    id-set digests value-checked against DuckDB applying the identical
+    thresholds."""
+    from inxs_spark.operators.text import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_splits(docs)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                       16, 10).cast("long")
+            ).cast("long").alias("id_digest"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 def q_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring repetition at window granularity (the Lee-et-al
     dedup signal): a 20-token boilerplate paragraph is PREPENDED to
@@ -1233,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonicalize": q_url_canonicalize,
         "q_repeated_windows": q_repeated_windows,
         "q_weighted_mix": q_weighted_mix,
+        "q_train_val_test": q_train_val_test,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1616,6 +1640,27 @@ def oracle_sql() -> dict[str, str]:
                    length(norm_text) AS n_norm_chars,
                    md5(norm_text) AS norm_md5
             FROM n ORDER BY doc_id
+        """,
+        "q_train_val_test": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 6))
+                       AS BIGINT) % 1000000 AS ticket
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang,
+                     CASE WHEN ticket < 900000 THEN 'train'
+                          WHEN ticket < 950000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM t
+            )
+            SELECT lang, split,
+                   count(*) AS n_docs,
+                   CAST(sum(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS id_digest
+            FROM s GROUP BY lang, split ORDER BY lang, split
         """,
         "q_weighted_mix": """
             WITH t AS (

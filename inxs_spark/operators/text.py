@@ -446,6 +446,46 @@ def weighted_mix(
     return df.filter(cond)
 
 
+def assign_splits(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label decided by the same cross-engine md5 ticket as
+    :func:`weighted_mix` — reproducible, retry-stable, and a document
+    keeps its split when the corpus grows (no rand(), no global sort,
+    no shuffle; the label computes at the scan). Fractions must sum to
+    1 (±1e-6); boundaries are cumulative ticket thresholds."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    ticket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                  F.lit(str(salt)))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    expr = None
+    cum = 0
+    # iterate in insertion order; the LAST split absorbs rounding
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += int(round(frac * 1_000_000))
+        cond = ticket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -52,3 +52,25 @@ def test_training_pipeline_example():
     assert out == (
         "documents=9 turns=2008 tokens=38948 avg_tokens/doc=4327.6"
     ), out
+
+
+def test_web_pipeline_example(tmp_path):
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, "examples/web_pipeline.py",
+         "--out", str(tmp_path / "wc"), "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    # deterministic archives → deterministic per-stage lineage counts
+    assert stats["pages_in"] == 96
+    assert stats["pages_extracted"] == 93
+    assert stats["pages_out"] == 59
+    # counts are monotone non-increasing through the funnel
+    funnel = [stats[k] for k in (
+        "pages_in", "pages_after_url_dedup", "pages_extracted",
+        "pages_after_line_cleanup", "pages_after_quality_gate",
+        "pages_out")]
+    assert funnel == sorted(funnel, reverse=True)

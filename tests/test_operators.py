@@ -338,6 +338,46 @@ class TestDedup:
         with pytest.raises(ValueError):
             weighted_mix(df, {"curated": 1.5}, key_col="src")
 
+    def test_assign_splits(self, spark):
+        """Splits are exhaustive, deterministic, stable under corpus
+        growth (a doc keeps its split when new docs arrive), and
+        roughly proportional."""
+        from inxs_spark.operators.text import assign_splits
+
+        df = spark.range(3000).selectExpr("id as doc_id")
+        out = {r.doc_id: r.split for r in assign_splits(df).collect()}
+        assert set(out.values()) == {"train", "val", "test"}
+        n_train = sum(1 for v in out.values() if v == "train")
+        assert 2550 < n_train < 2850  # ~90% of 3000
+        # growth stability: the first 1000 docs keep their labels
+        small = {r.doc_id: r.split
+                 for r in assign_splits(
+                     spark.range(1000).selectExpr("id as doc_id")).collect()}
+        assert all(out[i] == small[i] for i in small)
+        with pytest.raises(ValueError):
+            assign_splits(df, {"train": 0.5, "test": 0.4})
+
+    def test_canonical_url_idempotent(self, spark):
+        """canonical_url is a normal form: applying it twice equals
+        applying it once (checked over a grid of messy URL shapes)."""
+        from inxs_spark.operators.urls import canonical_url
+
+        shapes = []
+        for scheme in ("http://", "HTTPS://"):
+            for host in ("A.com", "a.com:443", "a.com:80", "u@B.org:8080"):
+                for path in ("", "/", "/P/x/", "/P"):
+                    for q in ("", "?b=2&a=1", "?utm_x=1", "?a=1&utm_y=2&c=3&"):
+                        for frag in ("", "#f"):
+                            shapes.append(scheme + host + path + q + frag)
+        df = spark.createDataFrame([(u,) for u in shapes], "url string")
+        once = df.select(canonical_url("url").alias("c1"))
+        twice = once.select(
+            F.col("c1"),
+            canonical_url("c1").alias("c2"),
+        ).collect()
+        bad = [(r.c1, r.c2) for r in twice if r.c1 != r.c2]
+        assert not bad, bad[:5]
+
     def test_url_canonicalization(self, spark):
         from inxs_spark.operators.urls import canonical_urls, url_dedup_groups
 
