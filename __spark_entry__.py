@@ -676,6 +676,26 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forked-conversation detection over a conv structure derived
+    deterministically from the documents table (50 convs x 10 turns);
+    five conversations get a planted identical 3-turn opener and must
+    group together; everything else is doc-unique. Oracle: DuckDB
+    ordered-list aggregation of the same prefix digest."""
+    from inxs_spark.operators.conversations import conversation_prefix_groups
+
+    turns = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.expr("doc_id div 50").cast("int").alias("turn_idx"),
+        F.when(
+            (F.col("doc_id") % 50 < 5) & (F.expr("doc_id div 50") < 3),
+            F.concat(F.lit("shared opener turn "),
+                     F.expr("doc_id div 50").cast("string")),
+        ).otherwise(F.col("text")).alias("extracted_text"),
+    )
+    return conversation_prefix_groups(turns, k_turns=3).orderBy("prefix_md5")
+
+
 def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment via the
     cross-engine md5 ticket (stable under corpus growth and task
@@ -1257,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_windows": q_repeated_windows,
         "q_weighted_mix": q_weighted_mix,
         "q_train_val_test": q_train_val_test,
+        "q_conversation_prefix_groups": q_conversation_prefix_groups,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1640,6 +1661,28 @@ def oracle_sql() -> dict[str, str]:
                    length(norm_text) AS n_norm_chars,
                    md5(norm_text) AS norm_md5
             FROM n ORDER BY doc_id
+        """,
+        "q_conversation_prefix_groups": """
+            WITH t AS (
+              SELECT doc_id % 50 AS conv_id,
+                     doc_id // 50 AS turn_idx,
+                     CASE WHEN doc_id % 50 < 5 AND doc_id // 50 < 3
+                          THEN 'shared opener turn '
+                               || CAST(doc_id // 50 AS VARCHAR)
+                          ELSE text END AS t
+              FROM documents
+            ), p AS (
+              SELECT conv_id,
+                     md5(array_to_string(
+                         list_slice(list(t ORDER BY turn_idx), 1, 3),
+                         chr(1))) AS prefix_md5
+              FROM t GROUP BY conv_id
+            )
+            SELECT prefix_md5,
+                   count(*) AS n_convs,
+                   min(conv_id) AS keep_conv_id
+            FROM p GROUP BY prefix_md5 HAVING count(*) > 1
+            ORDER BY prefix_md5
         """,
         "q_train_val_test": """
             WITH t AS (

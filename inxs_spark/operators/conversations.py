@@ -52,6 +52,48 @@ def conversation_stats(extracted: DataFrame) -> DataFrame:
     )
 
 
+def conversation_prefix_groups(
+    extracted: DataFrame,
+    k_turns: int = 3,
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Forked-conversation detection: conversations sharing their
+    first ``k_turns`` turns byte-for-byte (retry spam, A/B forks,
+    template openers — the transcript-corpus analogue of URL-prefix
+    dup). Output: (prefix_md5, n_convs, keep_conv_id) for groups of
+    ≥2 conversations, keyed by the digest of the IN-ORDER first k
+    turns.
+
+    Same one-hash-aggregate shape as the other conversation rollups:
+    sort-inside-aggregation (array_sort over (turn_idx, text)
+    structs), slice the first k, digest — conversations with fewer
+    than k turns key on what they have, so a short conversation that
+    IS another's prefix groups with it only when both have the same
+    turn count (prefix equality, not containment — containment needs
+    a second pass over group members)."""
+    packed = F.struct(
+        F.col("turn_idx"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
+    )
+    # chr(1) delimiter: unambiguous in real text (turns can contain
+    # newlines, so '\n' would alias turn boundaries)
+    prefix = F.expr(
+        f"array_join(transform(slice(array_sort(collect_list(turns_packed)), 1, {k_turns}),"
+        " s -> s.t), chr(1))"
+    )
+    return (
+        extracted.select("conv_id", packed.alias("turns_packed"))
+        .groupBy("conv_id")
+        .agg(prefix.alias("__prefix"))
+        .select(F.md5("__prefix").alias("prefix_md5"), "conv_id")
+        .groupBy("prefix_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min("conv_id").alias("keep_conv_id"),
+        )
+        .filter(F.col("n_convs") > 1)
+    )
+
+
 def conversation_dup_groups(extracted: DataFrame) -> DataFrame:
     """Conversation-level exact dedup: identical reconstructed
     documents (boilerplate-stripped) → groups. Composes

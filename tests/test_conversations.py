@@ -66,3 +66,28 @@ def test_conversation_docs_e2e(spark, tiny_transcripts):
     assert len(rows) == n_convs
     total_turns = sum(r.n_turns for r in rows)
     assert total_turns == spark.read.parquet(tiny_transcripts).count()
+
+def test_conversation_prefix_groups(spark):
+    """Conversations sharing their first k turns group together even
+    when later turns diverge; order of arrival doesn't matter; a
+    conversation with a DIFFERENT prefix stays out."""
+    from inxs_spark.operators.conversations import conversation_prefix_groups
+
+    rows = [
+        # a and b: same first 3 turns, divergent tails
+        ("a", 0, "hi"), ("a", 1, "how can i help"), ("a", 2, "question"),
+        ("a", 3, "answer one"),
+        ("b", 2, "question"), ("b", 0, "hi"), ("b", 1, "how can i help"),
+        ("b", 3, "a different answer"), ("b", 4, "more"),
+        # c: prefix differs at turn 1
+        ("c", 0, "hi"), ("c", 1, "unrelated"), ("c", 2, "question"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string"
+    )
+    groups = conversation_prefix_groups(df, k_turns=3).collect()
+    assert len(groups) == 1
+    assert groups[0].n_convs == 2 and groups[0].keep_conv_id == "a"
+    # with k=1 all three share the 'hi' opener
+    g1 = conversation_prefix_groups(df, k_turns=1).collect()
+    assert len(g1) == 1 and g1[0].n_convs == 3
