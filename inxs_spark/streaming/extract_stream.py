@@ -167,6 +167,49 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_turn_event_join(
+    spark: SparkSession,
+    turns_path: str,
+    events_path: str,
+    events_schema: str,
+    max_lag: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each turn pairs with the annotation/
+    telemetry events of its conversation that occurred within
+    ``max_lag`` AFTER the turn (the enrichment shape: moderation
+    verdicts, tool telemetry, human labels arriving on their own
+    stream).
+
+    Both sides carry watermarks and the join predicate bounds event
+    time relative to turn time in BOTH directions — that pair is what
+    lets Spark EVICT buffered rows once the watermark passes, so the
+    join state is bounded by the lag window, never the stream history
+    (the 10^12-turn requirement). Without the time bound, a
+    stream-stream join buffers forever; Spark rejects unbounded
+    outer variants outright."""
+    turns = (
+        spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+        .parquet(turns_path)
+        .withWatermark("ts", watermark)
+        .select("conv_id", "turn_idx", F.col("ts").alias("turn_ts"))
+    )
+    events = (
+        spark.readStream.schema(events_schema)
+        .parquet(events_path)
+        .withWatermark("event_ts", watermark)
+    )
+    return turns.join(
+        events,
+        F.expr(
+            f"conv_id = event_conv_id AND "
+            f"event_ts >= turn_ts AND "
+            f"event_ts <= turn_ts + interval {max_lag}"
+        ),
+        "inner",
+    ).select("conv_id", "turn_idx", "turn_ts", "event_ts", "event_kind")
+
+
 def streaming_turn_rates(
     spark: SparkSession,
     input_path: str,

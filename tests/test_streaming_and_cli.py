@@ -121,6 +121,62 @@ def test_streaming_exact_dedup(spark, tiny_transcripts, tmp_out):
     assert set(rows[0].asDict()) == set(batch.columns)
 
 
+def test_streaming_stream_stream_join(spark, tiny_transcripts, tmp_out):
+    """Stream-stream inner join with two-sided watermarks: each turn
+    pairs with its conversation's events inside the lag window; the
+    result reconciles exactly with the equivalent batch range join."""
+    from pyspark.sql import functions as F
+
+    from inxs_spark.streaming.extract_stream import streaming_turn_event_join
+
+    # synthesize an event stream: one 'label' event 1 minute after
+    # every 10th turn, plus one far-out-of-window event that must drop
+    base = spark.read.parquet(tiny_transcripts)
+    ev_schema = "event_conv_id string, event_ts timestamp, event_kind string"
+    events = base.filter(F.col("turn_idx") % 10 == 0).select(
+        F.col("conv_id").alias("event_conv_id"),
+        (F.col("ts") + F.expr("interval 1 minute")).alias("event_ts"),
+        F.lit("label").alias("event_kind"),
+    ).union(
+        base.limit(1).select(
+            F.col("conv_id").alias("event_conv_id"),
+            (F.col("ts") + F.expr("interval 2 hours")).alias("event_ts"),
+            F.lit("too_late").alias("event_kind"),
+        )
+    )
+    ev_path = os.path.join(tmp_out, "events_in")
+    events.write.mode("overwrite").parquet(ev_path)
+
+    joined = streaming_turn_event_join(
+        spark, tiny_transcripts, ev_path, ev_schema, max_lag="10 minutes"
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_out, "cp_ssjoin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    rows = spark.sql("select * from ss_join_test").collect()
+    assert rows and all(r.event_kind == "label" for r in rows)
+    # batch oracle: same range-join semantics without streaming
+    want = (
+        base.select("conv_id", "turn_idx", F.col("ts").alias("turn_ts"))
+        .join(
+            events,
+            F.expr(
+                "conv_id = event_conv_id AND event_ts >= turn_ts "
+                "AND event_ts <= turn_ts + interval 10 minutes"
+            ),
+        )
+        .filter(F.col("event_kind") == "label")
+        .count()
+    )
+    assert len(rows) == want, (len(rows), want)
+
+
 def test_kernel_cli_roundtrip(tmp_out):
     doc = os.path.join(tmp_out, "doc.xml")
     with open(doc, "w") as fh:
