@@ -676,6 +676,20 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a bigram add-1 LM trained on
+    the doc_id<100 slice scores every other document (avg log-prob +
+    perplexity), value-checked against DuckDB computing the identical
+    smoothed model."""
+    from inxs_spark.operators.text import ngram_lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+    ).orderBy("doc_id")
+
+
 def q_conversation_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forked-conversation detection over a conv structure derived
     deterministically from the documents table (50 convs x 10 turns);
@@ -1278,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_mix": q_weighted_mix,
         "q_train_val_test": q_train_val_test,
         "q_conversation_prefix_groups": q_conversation_prefix_groups,
+        "q_lm_perplexity": q_lm_perplexity,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1661,6 +1676,44 @@ def oracle_sql() -> dict[str, str]:
                    length(norm_text) AS n_norm_chars,
                    md5(norm_text) AS norm_md5
             FROM n ORDER BY doc_id
+        """,
+        "q_lm_perplexity": """
+            WITH toks AS (
+              SELECT string_split(text, ' ') AS l
+              FROM documents WHERE doc_id < 100
+            ), uni AS (
+              SELECT w1, count(*) AS c1 FROM (
+                SELECT unnest(l) AS w1 FROM toks) t
+              WHERE w1 != '' GROUP BY w1
+            ), bi AS (
+              SELECT w1, w2, count(*) AS c2 FROM (
+                SELECT unnest(list_slice(l, 1, len(l) - 1)) AS w1,
+                       unnest(list_slice(l, 2, len(l))) AS w2
+                FROM toks WHERE len(l) >= 2) t
+              WHERE w1 != '' AND w2 != '' GROUP BY w1, w2
+            ), v AS (
+              SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+            ), d AS (
+              SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents WHERE doc_id >= 100
+            ), db AS (
+              SELECT doc_id,
+                     unnest(list_slice(l, 1, len(l) - 1)) AS w1,
+                     unnest(list_slice(l, 2, len(l))) AS w2
+              FROM d WHERE len(l) >= 2
+            ), sc AS (
+              SELECT doc_id,
+                     ln((coalesce(c2, 0) + 1.0)
+                        / (coalesce(c1, 0) + 1.0 * v.v)) AS logp
+              FROM (SELECT * FROM db WHERE w1 != '' AND w2 != '') x
+              LEFT JOIN bi USING (w1, w2)
+              LEFT JOIN uni USING (w1), v
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(logp), 4) AS avg_logp,
+                   round(exp(-avg(logp)), 2) AS ppl
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         "q_conversation_prefix_groups": """
             WITH t AS (

@@ -255,6 +255,86 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ngram_lm_perplexity(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2019, public
+    paper, uses KenLM perplexity to rank crawl text): score every
+    document by the perplexity of an add-k-smoothed BIGRAM language
+    model trained on ``train_df`` (the "clean reference corpus" side
+    — e.g. a curated slice). High perplexity = unlike the reference →
+    noise/gibberish candidate; very low = boilerplate candidate.
+
+    Output: (id, n_bigrams, avg_logp, ppl) where
+    logP(w2|w1) = ln((c2(w1,w2) + k) / (c1(w1) + k*V)), ppl =
+    exp(-avg_logp).
+
+    Everything is DataFrame algebra — training is two hash-aggregates
+    over the reference corpus (unigram + bigram counts), scoring is
+    an explode + LEFT join against the count tables + one per-doc
+    aggregate. At 100 TB: token strings would be xxhash64-keyed for
+    the join (kept as strings here for oracle value-parity), and the
+    count tables of a curated reference corpus are broadcast-sized by
+    construction."""
+    def bigrams(col: str) -> Column:
+        # guard: sequence(1, 0) DESCENDS in Spark, so sub-2-token docs
+        # must short-circuit to an empty array (they produce no
+        # bigrams and drop out of the scored output)
+        n1 = f"size(split({col}, ' ')) - 1"
+        return F.expr(
+            # outer slice truncates to max(n-1, 0) bigrams, so the
+            # sub-2-token case yields an empty TYPED array (a bare
+            # array() would type-clash in a CASE); get() is the
+            # NULL-on-out-of-bounds accessor (ANSI mode throws on [])
+            f"slice(transform(sequence(1, greatest({n1}, 1)),"
+            f"  i -> struct(get(split({col}, ' '), i - 1) as w1,"
+            f"  get(split({col}, ' '), i) as w2)),"
+            f" 1, greatest({n1}, 0))"
+        )
+
+    uni = (
+        train_df.select(F.explode(F.split(F.col(text_col), " ")).alias("w1"))
+        .filter(F.col("w1") != "")
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        train_df.select(F.explode(bigrams(text_col)).alias("b"))
+        .select(F.col("b.w1"), F.col("b.w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+
+    doc_bi = (
+        df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("b"))
+        .select(id_col, F.col("b.w1"), F.col("b.w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    scored = (
+        doc_bi.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(add_k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+        F.round(F.exp(-F.avg("logp")), 2).alias("ppl"),
+    )
+
+
 def line_doc_freq(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", sep: str = "\n") -> DataFrame:
     """Distinct-document frequency per exact line: (line_md5, n_docs).

@@ -338,6 +338,33 @@ class TestDedup:
         with pytest.raises(ValueError):
             weighted_mix(df, {"curated": 1.5}, key_col="src")
 
+    def test_ngram_lm_perplexity(self, spark):
+        """A doc made of reference-corpus phrases scores lower
+        perplexity than gibberish; hand-checked value on a tiny
+        model; sub-2-token docs drop out."""
+        import math
+
+        from inxs_spark.operators.text import ngram_lm_perplexity
+
+        train = spark.createDataFrame(
+            [(0, "the cat sat"), (1, "the cat ran")],
+            "doc_id long, text string",
+        )
+        score = spark.createDataFrame(
+            [(10, "the cat"), (11, "zz qq"), (12, "one")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in
+               ngram_lm_perplexity(score, train).collect()}
+        # model: V=5 (the,cat,sat,ran + ...): tokens the,cat,sat,ran →
+        # V=4; c1(the)=2; c2(the,cat)=2 → logP = ln((2+1)/(2+4)) = ln(0.5)
+        assert got[10].n_bigrams == 1
+        assert got[10].avg_logp == round(math.log(3 / 6), 4)
+        # unseen everything: ln((0+1)/(0+4)) = ln(0.25)
+        assert got[11].avg_logp == round(math.log(1 / 4), 4)
+        assert got[11].ppl > got[10].ppl
+        assert 12 not in got  # single token → no bigrams
+
     def test_assign_splits(self, spark):
         """Splits are exhaustive, deterministic, stable under corpus
         growth (a doc keeps its split when new docs arrive), and
