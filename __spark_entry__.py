@@ -889,6 +889,90 @@ def q_warc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_records_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotes the generic-transformation-runner parity pytest into
+    the ORACLE gate (pattern of q_warc_parity): transform_df's
+    table-records fan-out over the tiny transcript tier must equal the
+    serial kernel applying the SAME Transformation per turn — the
+    oracle pins the mismatch count to zero, putting the runner's
+    salt/sort/Arrow plumbing under the driver's hash check."""
+    from inxs_spark.kernel import Rule, Transformation, lib
+    from inxs_spark.kernel.parse import parse_payload
+    from inxs_spark.plans.transform_pipeline import transform_df
+    from inxs_spark.sources.transcripts import ensure_transcripts
+
+    def row_cells(element):
+        return tuple(c.full_text() for c in element.children)
+
+    t = Transformation(
+        Rule("tr", (row_cells, lib.append("rows"))),
+        name="table-extraction", result_object="context.rows",
+    )
+    df = spark.read.parquet(ensure_transcripts(spark, "tiny"))
+    got = transform_df(
+        df, t, result_schema="row_idx int, cells array<string>",
+        result_fn=lambda rows, _r: [
+            {"row_idx": i, "cells": list(x)} for i, x in enumerate(rows or [])
+        ],
+    ).select(
+        "conv_id", "turn_idx", "row_idx", F.to_json("cells").alias("got_json")
+    )
+    want = []
+    for row in df.select("conv_id", "turn_idx", "text").collect():
+        try:
+            root, _ = parse_payload(row.text)
+            if root is None:
+                continue
+            result = t(root)
+        except Exception:
+            continue  # the runner's on_error='skip' policy
+        for i, cells in enumerate(result or []):
+            import json as _json
+
+            want.append((row.conv_id, row.turn_idx, i,
+                         _json.dumps(list(cells), separators=(",", ":"))))
+    exp = spark.createDataFrame(
+        want, "conv_id string, turn_idx int, row_idx int, want_json string"
+    )
+    joined = got.join(exp, ["conv_id", "turn_idx", "row_idx"], "full_outer")
+    return joined.agg(
+        F.sum(
+            F.when(~F.col("got_json").eqNullSafe(F.col("want_json")), 1).otherwise(0)
+        ).cast("long").alias("n_mismatches")
+    )
+
+
+def q_density_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic (text-density) extraction pinned against the
+    serial implementation of the SAME per-turn function — with
+    q_extract_parity (rules kernel), q_warc_parity (WARC source) and
+    q_table_records_parity (generic runner), every non-SQL execution
+    path now has a zero-divergence oracle row."""
+    from inxs_spark.heuristics import density_extract_turn
+    from inxs_spark.plans.extract_pipeline import extract_df
+    from inxs_spark.sources.transcripts import ensure_transcripts
+
+    df = spark.read.parquet(ensure_transcripts(spark, "tiny"))
+    got = extract_df(df, row_fn=density_extract_turn).select(
+        "conv_id", "turn_idx", "extracted_text", "failure"
+    )
+    want = []
+    for row in df.select("conv_id", "turn_idx", "text").collect():
+        text, _spans, failure = density_extract_turn(row.text)
+        want.append((row.conv_id, row.turn_idx, text, failure))
+    exp = spark.createDataFrame(
+        want, "conv_id string, turn_idx int, want_text string, want_failure string"
+    )
+    joined = got.join(exp, ["conv_id", "turn_idx"], "full_outer")
+    mismatch = ~(
+        F.col("extracted_text").eqNullSafe(F.col("want_text"))
+        & F.col("failure").eqNullSafe(F.col("want_failure"))
+    )
+    return joined.agg(
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("long").alias("n_mismatches")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per language: token counts per lang x document frequency
     across the corpus; top 3 terms per lang by score (token tiebreak).
@@ -1284,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination_normalized": q_decontamination_normalized,
         "q_extract_parity": q_extract_parity,
         "q_warc_parity": q_warc_parity,
+        "q_table_records_parity": q_table_records_parity,
+        "q_density_parity": q_density_parity,
         "q_dedup_clusters": q_dedup_clusters,
         "q_text_normalize": q_text_normalize,
         "q_boilerplate_lines": q_boilerplate_lines,
@@ -1928,6 +2014,16 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_parity": """
             -- pins WARC→Spark-extraction vs serial-kernel divergence
             -- (per-page text/spans/failure equality) to zero
+            SELECT CAST(0 AS BIGINT) AS n_mismatches
+        """,
+        "q_table_records_parity": """
+            -- pins transform_df (generic transformation runner) vs
+            -- serial-kernel divergence to zero
+            SELECT CAST(0 AS BIGINT) AS n_mismatches
+        """,
+        "q_density_parity": """
+            -- pins the DOM-heuristic density extractor (Spark plan)
+            -- vs its serial application to zero divergence
             SELECT CAST(0 AS BIGINT) AS n_mismatches
         """,
         "q_decontamination_normalized": """
