@@ -358,6 +358,45 @@ def ivf_assign(
     return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
+def ivf_write_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: cell assignments written
+    PARTITIONED BY cell — the inverted lists ARE the directory
+    structure, so a query's nprobe filter prunes at the scan (no
+    assignment recompute, no shuffle, IO = nprobe/n_cells of the
+    corpus). This is the 100 TB serving shape; :func:`ivf_topk`
+    recomputes assignments inline and is the ad-hoc shape."""
+    ivf_assign(df, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a materialized IVF index: rank cells
+    driver-side (numpy over the centroid matrix), scan ONLY the nprobe
+    matching partition directories (PartitionFilters — test-asserted),
+    exact cosine inside."""
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d2.argsort()[:nprobe]]
+    cands = spark.read.parquet(index_path).filter(F.col("cell").isin(probes))
+    return cosine_topk(cands, qv, k, id_col, vec_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -167,6 +167,71 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_curate(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    min_quality: float = 0.2,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    num_partitions: Optional[int] = None,
+):
+    """Streaming ingestion curation — the composed live pipeline:
+
+        turn stream
+          → exact dedup within the watermark horizon (digest state,
+            BEFORE extraction: duplicate payloads never reach the
+            kernel, the same compute lever as extract_df_deduped)
+          → per microbatch: main-content extraction → quality gate
+          → exactly-once batch_id-partitioned sink
+
+    Returns the started StreamingQuery. State is bounded (dedup
+    digests evicted past the watermark); the sink is replay-idempotent
+    (each batch overwrites its own partition directory)."""
+    from ..operators.text import quality_score
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SPARK_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_path)
+    )
+    deduped = (
+        stream.withColumn("__fp", F.md5(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+    out_path = os.path.join(out_root, "curated_stream")
+    checkpoint = os.path.join(out_root, "checkpoint")
+    _reject_legacy_sink_layout(out_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_df(batch_df, num_partitions=num_partitions).filter(
+            F.col("failure").isNull() & (F.length("extracted_text") > 0)
+        )
+        keyed = extracted.withColumn(
+            "__key",
+            F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")),
+        )
+        q = quality_score(keyed, "__key", "extracted_text").select(
+            "__key", "quality"
+        )
+        gated = keyed.join(q, "__key").filter(
+            F.col("quality") >= min_quality
+        ).drop("__key")
+        gated.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_turn_event_join(
     spark: SparkSession,
     turns_path: str,

@@ -643,6 +643,36 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_ivf_indexed_layout_prunes_at_scan(self, spark, tmp_path):
+        """The materialized IVF index (partitioned by cell) must prune
+        to the nprobe cells AT THE SCAN (PartitionFilters), and return
+        the same results as the inline ivf_topk with the same
+        centroids."""
+        from inxs_spark.operators.similarity import (
+            ivf_topk,
+            ivf_topk_indexed,
+            ivf_train_centroids,
+            ivf_write_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        dim = len(emb.select("embedding").first()[0])
+        cents = ivf_train_centroids(emb, dim, n_cells=8)
+        qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+        base = emb.filter(F.col("vec_id") != 0)
+
+        idx = str(tmp_path / "ivf_index")
+        ivf_write_index(base, cents, idx)
+        got = ivf_topk_indexed(spark, idx, cents, qvec, k=5, nprobe=4)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cell" in plan.split(
+            "PartitionFilters: [", 1)[1].split("]", 1)[0]
+        want = ivf_topk(base, qvec, k=5, nprobe=4, centroids=cents)
+        assert [tuple(r) for r in got.collect()] == \
+               [tuple(r) for r in want.collect()]
+
     def test_bucket_key_udf_matches_literal_tree(self, spark):
         """The production-dim matmul UDF and the codegen literal tree
         must assign identical LSH buckets and IVF cells (the auto-

@@ -177,6 +177,54 @@ def test_streaming_stream_stream_join(spark, tiny_transcripts, tmp_out):
     assert len(rows) == want, (len(rows), want)
 
 
+def test_streaming_curate(spark, tiny_transcripts, tmp_out):
+    """Composed streaming curation: dedup-before-extract within the
+    watermark, quality-gated, exactly-once batch_id sink. The output
+    row count reconciles with the batch equivalent (distinct payloads
+    → extract → same gate), and every surviving row meets the quality
+    floor."""
+    from pyspark.sql import functions as F
+
+    from inxs_spark.operators.text import quality_score
+    from inxs_spark.plans.extract_pipeline import extract_df
+    from inxs_spark.streaming.extract_stream import streaming_curate
+
+    out_root = os.path.join(tmp_out, "curate_stream")
+    query = streaming_curate(spark, tiny_transcripts, out_root,
+                             min_quality=0.2)
+    query.awaitTermination(300)
+    got = spark.read.parquet(os.path.join(out_root, "curated_stream"))
+    rows = got.collect()
+    assert rows and all(r.quality >= 0.2 for r in rows)
+    assert "batch_id" in got.columns  # partition-directory sink
+
+    # batch oracle: one representative per distinct payload → extract
+    # → identical gate (streaming keeps first-arrival, batch keeps one
+    # per digest — counts must match even if representatives differ)
+    base = spark.read.parquet(tiny_transcripts)
+    from pyspark.sql.window import Window
+
+    rep = (
+        base.withColumn("__fp", F.md5("text"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy("conv_id", "turn_idx")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+    ex = extract_df(rep).filter(
+        F.col("failure").isNull() & (F.length("extracted_text") > 0)
+    ).withColumn(
+        "__key", F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+    )
+    q = quality_score(ex, "__key", "extracted_text").select("__key", "quality")
+    want = ex.join(q, "__key").filter(F.col("quality") >= 0.2).count()
+    assert len(rows) == want, (len(rows), want)
+
+
 def test_kernel_cli_roundtrip(tmp_out):
     doc = os.path.join(tmp_out, "doc.xml")
     with open(doc, "w") as fh:
