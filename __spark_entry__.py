@@ -1824,16 +1824,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY prefix_md5
         """,
         "q_train_val_test": """
+            -- ticket: 15-hex-digit md5 prefix mod 2^20 (exactly
+            -- uniform); thresholds are round(frac * 1048576) cumulative
             WITH t AS (
               SELECT doc_id, lang,
                      CAST(concat('0x',
-                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 6))
-                       AS BIGINT) % 1000000 AS ticket
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))
+                       AS BIGINT) % 1048576 AS ticket
               FROM documents
             ), s AS (
               SELECT doc_id, lang,
-                     CASE WHEN ticket < 900000 THEN 'train'
-                          WHEN ticket < 950000 THEN 'val'
+                     CASE WHEN ticket < 943718 THEN 'train'
+                          WHEN ticket < 996147 THEN 'val'
                           ELSE 'test' END AS split
               FROM t
             )
@@ -1845,17 +1847,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY lang, split ORDER BY lang, split
         """,
         "q_weighted_mix": """
+            -- ticket: 15-hex-digit md5 prefix mod 2^20 (exactly
+            -- uniform); thresholds are round(weight * 1048576)
             WITH t AS (
               SELECT doc_id, lang,
                      CAST(concat('0x',
-                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 6))
-                       AS BIGINT) % 1000000 AS ticket
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))
+                       AS BIGINT) % 1048576 AS ticket
               FROM documents
             ), kept AS (
               SELECT doc_id, lang FROM t
-              WHERE (lang = 'en' AND ticket < 1000000)
-                 OR (lang = 'de' AND ticket < 500000)
-                 OR (lang = 'fr' AND ticket < 100000)
+              WHERE (lang = 'en' AND ticket < 1048576)
+                 OR (lang = 'de' AND ticket < 524288)
+                 OR (lang = 'fr' AND ticket < 104858)
             )
             SELECT lang,
                    count(*) AS n_kept,
@@ -1906,7 +1910,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, url,
                      regexp_replace(url, '#.*$', '') AS u
               FROM urls
-            ), s2 AS (  -- lowercase authority
+            ), s2 AS (
+              -- lowercase scheme+host (the synthesized URLs carry no
+              -- userinfo, which the Spark side preserves case-exact)
               SELECT doc_id, url,
                      lower(regexp_extract(u,
                          '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))

@@ -380,6 +380,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize ONCE: every iteration joins against edges, and
+        # without the checkpoint each round (plus the metrics count)
+        # re-executes the full upstream candidate-pair lineage — LSH
+        # explode, window cap, verify joins — from the source scan
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))

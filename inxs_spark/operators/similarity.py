@@ -109,7 +109,12 @@ def bucket_key(vec_col: str, planes: np.ndarray) -> Column:
     for h, plane in enumerate(planes):
         bit = F.when(dot(v, _lit_vec(plane)) > 0, F.lit(1)).otherwise(F.lit(0))
         key = key + (bit.cast("long") * F.lit(int(2 ** h)))
-    return key
+    # null / wrong-dim rows get a NULL bucket (dirty data must not
+    # silently land in bucket 0 — and the matmul UDF variant can't
+    # compute them at all, so both paths agree on the contract)
+    return F.when(
+        v.isNotNull() & (F.size(v) == planes.shape[1]), key
+    ).otherwise(F.lit(None).cast("long"))
 
 
 # above this many embedded scalar literals (planes: n_planes x dim;
@@ -133,17 +138,29 @@ def bucket_key_udf(vec_col: str, planes: np.ndarray) -> Column:
     P = np.ascontiguousarray(planes, dtype=np.float64)
     weights = (1 << np.arange(P.shape[0], dtype=np.uint64))
 
+    dim = P.shape[1]
+
     @F.pandas_udf(LongType())
     def key(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="int64")
-        # Arrow hands list<float> cells over as per-row ndarrays;
-        # vstack is the no-python-loop batch assembly (tolist() was
-        # 6x slower at dim 768 — see tools/stress_dim768.py)
-        X = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
-        bits = (X @ P.T) > 0
-        out = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-        return pd.Series(out)
+        vals = vecs.to_numpy()
+        # null / wrong-dim rows → NULL bucket (matches the literal
+        # path's guard); np.vstack would crash the whole Arrow batch
+        valid = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        out = np.full(len(vals), np.nan)
+        if valid.any():
+            # Arrow hands list<float> cells over as per-row ndarrays;
+            # vstack is the no-python-loop batch assembly (tolist()
+            # was 6x slower at dim 768 — see tools/stress_dim768.py)
+            X = np.vstack(vals[valid]).astype(np.float64, copy=False)
+            bits = (X @ P.T) > 0
+            out[valid] = (bits.astype(np.uint64) * weights).sum(axis=1).astype(
+                np.int64
+            )
+        return pd.Series(out).astype("Int64")
 
     return key(F.col(vec_col))
 
@@ -229,15 +246,14 @@ def pairwise_ann_candidates(
         if n_rows is None:
             from .dedup import bounded_count
 
-            saturation = 1 << 24
+            # derive_n_planes' hi clamp saturates at target_bucket·2^hi
+            # = 32·2^24 rows, so a probe bounded there yields the
+            # IDENTICAL parameter as a full count for EVERY corpus
+            # size (same alignment as the minhash max_bucket probe —
+            # a smaller bound would silently under-plane corpora in
+            # the 16.7M–536M range by up to 32x bucket size)
+            saturation = 32 * (1 << 24)
             n_rows = bounded_count(df, saturation)
-            if n_rows >= saturation:
-                logger.warning(
-                    "pairwise_ann_candidates: corpus exceeds the %d-row "
-                    "probe bound; using n_planes for n=%d (conservative "
-                    "— pass n_rows= for the true corpus size)",
-                    saturation, saturation,
-                )
         n_planes = derive_n_planes(n_rows)
         logger.info(
             "pairwise_ann_candidates: n=%d -> n_planes=%d "
@@ -284,15 +300,19 @@ def ivf_train_centroids(
     """Coarse quantizer: Lloyd k-means on a bounded driver-side sample
     (deterministic seed). At 100 TB the sample is still `max_sample`
     rows — training cost is O(sample), never O(corpus); only the
-    assignment pass below touches every row."""
-    from .dedup import bounded_count
+    assignment pass below touches every row.
 
-    # bounded probe: past 2^24 rows the sample fraction is already
-    # ≤ max_sample/2^24 and limit(max_sample) truncates any overdraw
-    n = bounded_count(df, 1 << 24)
-    frac = min(1.0, (max_sample * 1.2) / max(n, 1))
+    Sampling is a deterministic hash-ordered global top-k
+    (TakeOrdered on xxhash64 of the vector): position-independent, so
+    the codebook never trains on a corpus PREFIX — a fraction-based
+    sample + limit() takes whatever the first partitions yield, which
+    on a time-ordered corpus is the oldest 1-2% of the data (round-3
+    review finding). One scan, map-side heaps of max_sample rows."""
     rows = (
-        df.select(vec_col).sample(fraction=frac, seed=seed).limit(max_sample).collect()
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)))
+        .limit(max_sample)
+        .collect()
     )
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
@@ -315,7 +335,11 @@ def _cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
         dot(v, _lit_vec(c)) - F.lit(float(np.dot(c, c)) / 2.0)
         for c in centroids
     ])
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    # null / wrong-dim rows → NULL cell (same contract as _cell_udf)
+    return F.when(
+        v.isNotNull() & (F.size(v) == centroids.shape[1]), cell
+    ).otherwise(F.lit(None).cast("int"))
 
 
 def _cell_udf(centroids: np.ndarray):
@@ -328,13 +352,22 @@ def _cell_udf(centroids: np.ndarray):
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     half_norms = 0.5 * (C * C).sum(axis=1)
 
+    dim = C.shape[1]
+
     @F.pandas_udf(IntegerType())
     def cell(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="int32")
-        X = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
-        scores = X @ C.T - half_norms[None, :]
-        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+        vals = vecs.to_numpy()
+        valid = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        out = np.full(len(vals), np.nan)
+        if valid.any():
+            X = np.vstack(vals[valid]).astype(np.float64, copy=False)
+            scores = X @ C.T - half_norms[None, :]
+            out[valid] = scores.argmax(axis=1).astype(np.int32)
+        return pd.Series(out).astype("Int32")
 
     return cell
 

@@ -362,8 +362,13 @@ def remove_boilerplate_lines(
     every line that appears (byte-identical) in ≥ ``min_docs``
     distinct documents — cookie banners, nav bars, footers — and
     reassemble each document from its surviving lines in original
-    order. Returns (id, text, n_lines_in, n_lines_kept); documents
-    whose every line was boilerplate survive with text=''.
+    order. Whitespace-only lines are dropped everywhere (they carry
+    no content and would otherwise survive as orphaned blanks where
+    boilerplate was stripped, perturbing later line-based digests);
+    n_lines_in therefore counts NON-BLANK input lines. Returns
+    (id, text, n_lines_in, n_lines_kept); documents whose every
+    non-blank line was boilerplate survive with text='' and
+    n_lines_kept=0.
 
     Scale shape: one hash-aggregate over (line_md5, doc_id) builds the
     frequency table; the blacklist (lines in ≥ min_docs docs) is tiny
@@ -377,7 +382,7 @@ def remove_boilerplate_lines(
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    )
+    ).filter(F.trim("line") != "")
     kept = lines.join(
         F.broadcast(blacklist),
         F.md5(F.col("line")) == F.col("line_md5"),
@@ -392,7 +397,10 @@ def remove_boilerplate_lines(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines_in"),
+        F.size(
+            F.filter(F.split(F.col(text_col), sep),
+                     lambda x: F.trim(x) != "")
+        ).cast("long").alias("n_lines_in"),
     )
     return (
         totals.join(reassembled, id_col, "left")
@@ -483,6 +491,33 @@ def repeated_window_stats(
     )
 
 
+#: ticket modulus — a POWER OF TWO so the 60-bit md5 prefix wraps
+#: evenly and every residue is exactly equally likely (a mod-1e6 over
+#: a 24-bit prefix gave residues below the wrap 17 preimages and the
+#: rest 16 — ~+1.3% relative keep-rate bias; round-3 review finding)
+TICKET_MOD = 1 << 20
+
+
+def mix_ticket(id_col: str, salt: int = 0) -> Column:
+    """Cross-engine deterministic sampling ticket in [0, 2^20): the
+    first 15 hex digits of md5("id:salt") mod 2^20. Exactly uniform
+    (see TICKET_MOD) and expressible verbatim in DuckDB/Trino:
+    ``CAST(concat('0x', substr(md5(id || ':0'), 1, 15)) AS BIGINT)
+    % 1048576``. The single definition is shared by weighted_mix and
+    assign_splits — the two must never drift apart."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                  F.lit(str(salt)))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(TICKET_MOD),
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     weights: dict[str, float],
@@ -499,29 +534,19 @@ def weighted_mix(
     training-data mixture (e.g. 10% of crawl, 100% of curated).
 
     Pure codegen: one map over the scan, no shuffle, no Python. The
-    ticket is the first 6 hex digits of md5(id:salt) mod 1e6 (md5, not
-    xxhash64, so the SAME ticket is expressible in DuckDB/Trino/etc. —
-    cross-engine reproducibility is part of the mix contract); the
-    filter pipelines into the scan stage at 100 TB."""
+    ticket is :func:`mix_ticket` (md5-based, not xxhash64, so the SAME
+    ticket is expressible in DuckDB/Trino/etc. — cross-engine
+    reproducibility is part of the mix contract; exactly uniform, see
+    TICKET_MOD); the filter pipelines into the scan stage at 100 TB."""
     if not weights:
         raise ValueError("weights must be non-empty")
     for k, w in weights.items():
         if not 0.0 <= w <= 1.0:
             raise ValueError(f"weight for {k!r} must be in [0,1], got {w}")
-    ticket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                                  F.lit(str(salt)))),
-                1, 6,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(1_000_000),
-    )
+    ticket = mix_ticket(id_col, salt)
     cond = F.lit(False)
     for k, w in sorted(weights.items()):
-        thr = int(round(w * 1_000_000))
+        thr = int(round(w * TICKET_MOD))
         cond = cond | ((F.col(key_col) == k) & (ticket < thr))
     return df.filter(cond)
 
@@ -542,23 +567,13 @@ def assign_splits(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    ticket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                                  F.lit(str(salt)))),
-                1, 6,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(1_000_000),
-    )
+    ticket = mix_ticket(id_col, salt)  # the ONE shared ticket rule
     expr = None
     cum = 0
     # iterate in insertion order; the LAST split absorbs rounding
     items = list(fractions.items())
     for name, frac in items[:-1]:
-        cum += int(round(frac * 1_000_000))
+        cum += int(round(frac * TICKET_MOD))
         cond = ticket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]

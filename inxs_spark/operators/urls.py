@@ -23,16 +23,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_AUTHORITY = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+_SCHEME_AUTH = r"^([A-Za-z][A-Za-z0-9+.-]*://)(?:([^/?#@]*)@)?([^/?#]*)"
 
 
 def canonical_url(url_col: str) -> Column:
     """Column expression for the canonical form of ``url_col``."""
     u = F.col(url_col)
     u = F.regexp_replace(u, r"#.*$", "")                      # 1 fragment
-    head = F.lower(F.regexp_extract(u, _AUTHORITY, 1))        # 2 authority
-    tail = F.regexp_replace(u, _AUTHORITY, "")
-    u = F.concat(head, tail)
+    # 2: lowercase scheme and host[:port] ONLY — RFC 3986 §6.2.2.1
+    # makes userinfo case-SENSITIVE (round-3 review finding: naively
+    # lowercasing the whole authority merges URLs with distinct
+    # credentials and corrupts the stored canonical form)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_AUTH, 1))
+    userinfo = F.regexp_extract(u, _SCHEME_AUTH, 2)
+    hostport = F.lower(F.regexp_extract(u, _SCHEME_AUTH, 3))
+    rest = F.regexp_replace(u, _SCHEME_AUTH, "")
+    u = F.concat(
+        scheme,
+        F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(
+            F.lit("")
+        ),
+        hostport,
+        rest,
+    )
     # 3 default ports — capture-the-follower instead of lookahead so
     # the same pattern family works in RE2 engines (the DuckDB oracle)
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#]|$)", "$1$2")

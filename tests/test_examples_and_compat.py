@@ -67,7 +67,7 @@ def test_web_pipeline_example(tmp_path):
     # deterministic archives → deterministic per-stage lineage counts
     assert stats["pages_in"] == 96
     assert stats["pages_extracted"] == 93
-    assert stats["pages_out"] == 59
+    assert stats["pages_out"] == 76
     # counts are monotone non-increasing through the funnel
     funnel = [stats[k] for k in (
         "pages_in", "pages_after_url_dedup", "pages_extracted",
