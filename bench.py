@@ -63,7 +63,9 @@ def timed_extraction(spark, path: str, cores: int) -> float:
 
     df = spark.read.parquet(path)
     t0 = time.monotonic()
-    extract_df(df, num_partitions=cores * 3).agg(F.count("*")).collect()
+    # 1x cores: one wave of Python workers (round-3 re-sweep — 28-55%
+    # faster than the old 3x with the current kernel; BASELINE.md)
+    extract_df(df, num_partitions=cores).agg(F.count("*")).collect()
     return time.monotonic() - t0
 
 

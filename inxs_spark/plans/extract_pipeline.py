@@ -200,14 +200,15 @@ def extract_df(
     spans, failure). Pure transformation — callers choose the sink."""
     spark = df.sparkSession
     if num_partitions is None:
-        # 3x cores measured ~1.7x faster than 1x at high parallelism
-        # (straggler smoothing for the Python-bound UDF stage;
-        # BASELINE.md ablations)
-        cores = spark.sparkContext.defaultParallelism
-        num_partitions = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            3 * cores,
-        )
+        # 1x cores = ONE wave of Python workers. Re-swept round 3
+        # after the kernel got ~4x faster: 1x now beats the old 3x
+        # default by 28% at local[32] and 55% at local[16] (189.5k vs
+        # 148.2k turns/s; BASELINE.md). The round-1 sweep that picked
+        # 3x measured a 4x-slower kernel, where per-task compute
+        # dwarfed task overheads and straggler smoothing paid; with
+        # the fused kernel the salted partitions are balanced enough
+        # that extra waves only add scheduling + worker-switch cost.
+        num_partitions = spark.sparkContext.defaultParallelism
     fn = make_extract_fn(
         transformation, metrics_dir, run_id, chunk_id, input_snapshot_id,
         row_fn=row_fn,
@@ -260,11 +261,9 @@ def extract_df_deduped(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        cores = spark.sparkContext.defaultParallelism
-        num_partitions = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            3 * cores,
-        )
+        # 1x cores — same round-3 re-sweep as extract_df (one wave of
+        # Python workers; BASELINE.md)
+        num_partitions = spark.sparkContext.defaultParallelism
     fp = F.coalesce(F.md5("text"), F.lit("NULL")).alias("fp")
     keyed = df.select("conv_id", "turn_idx", F.col("text"), fp)
     distinct = (

@@ -56,11 +56,9 @@ def transform_df(
         raise ValueError("on_error must be 'skip' or 'raise'")
     spark = df.sparkSession
     if num_partitions is None:
-        cores = spark.sparkContext.defaultParallelism
-        num_partitions = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            3 * cores,
-        )
+        # 1x cores — round-3 re-sweep, see extract_df (one wave of
+        # Python workers beats extra waves with the fast kernel)
+        num_partitions = spark.sparkContext.defaultParallelism
 
     out_schema_str = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
