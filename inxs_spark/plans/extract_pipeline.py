@@ -185,6 +185,31 @@ def _write_partition_metrics(
     # overwrite with identical deterministic content (except wall_ms)
 
 
+def _default_partitions(spark, df: DataFrame) -> int:
+    """max(total cores, input file splits) — the round-3 re-swept
+    default for the Python-UDF stage.
+
+    Two regimes, measured (BASELINE.md partition-count tables):
+    fixed per-task overhead + Python-worker switching dominate below
+    ~25-50k turns/partition (so ONE wave of workers — 1x cores — beat
+    the old 3x default by 28-55% on the 601k-turn bench tier), while
+    oversized partitions lose pipelining overlap and pay n·log n sort
+    cost (3x clawed back ~8-10% on the 2.4M-turn scale tier at 1x).
+    The input-split count scales with BYTES (~one split per
+    spark.sql.files.maxPartitionBytes = 128 MB), so at 100 TB this
+    default yields ~800k partitions of bounded size instead of
+    total-cores partitions of 30M turns — the floor only binds on
+    small inputs, where one wave is the measured winner. Callers that
+    know their row counts can pass num_partitions explicitly
+    (~25-50k turns/partition is the sweet spot)."""
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        input_splits = df.rdd.getNumPartitions()  # metadata-only
+    except Exception:
+        input_splits = 0
+    return max(cores, input_splits)
+
+
 def extract_df(
     df: DataFrame,
     transformation: Transformation = MAIN_CONTENT,
@@ -200,15 +225,7 @@ def extract_df(
     spans, failure). Pure transformation — callers choose the sink."""
     spark = df.sparkSession
     if num_partitions is None:
-        # 1x cores = ONE wave of Python workers. Re-swept round 3
-        # after the kernel got ~4x faster: 1x now beats the old 3x
-        # default by 28% at local[32] and 55% at local[16] (189.5k vs
-        # 148.2k turns/s; BASELINE.md). The round-1 sweep that picked
-        # 3x measured a 4x-slower kernel, where per-task compute
-        # dwarfed task overheads and straggler smoothing paid; with
-        # the fused kernel the salted partitions are balanced enough
-        # that extra waves only add scheduling + worker-switch cost.
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = _default_partitions(spark, df)
     fn = make_extract_fn(
         transformation, metrics_dir, run_id, chunk_id, input_snapshot_id,
         row_fn=row_fn,
@@ -261,9 +278,7 @@ def extract_df_deduped(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        # 1x cores — same round-3 re-sweep as extract_df (one wave of
-        # Python workers; BASELINE.md)
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = _default_partitions(spark, df)
     fp = F.coalesce(F.md5("text"), F.lit("NULL")).alias("fp")
     keyed = df.select("conv_id", "turn_idx", F.col("text"), fp)
     distinct = (

@@ -56,9 +56,9 @@ def transform_df(
         raise ValueError("on_error must be 'skip' or 'raise'")
     spark = df.sparkSession
     if num_partitions is None:
-        # 1x cores — round-3 re-sweep, see extract_df (one wave of
-        # Python workers beats extra waves with the fast kernel)
-        num_partitions = spark.sparkContext.defaultParallelism
+        from .extract_pipeline import _default_partitions
+
+        num_partitions = _default_partitions(spark, df)
 
     out_schema_str = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
