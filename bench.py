@@ -56,16 +56,17 @@ def build_session(cores: int):
     )
 
 
-def timed_extraction(spark, path: str, cores: int) -> float:
+def timed_extraction(spark, path: str) -> float:
+    """Times extraction under the SHIPPED default partitioning
+    (round-3: one worker wave on ≤2-waves-of-files inputs, the file
+    layout beyond — see BASELINE.md re-sweep)."""
     from pyspark.sql import functions as F
 
     from inxs_spark.plans.extract_pipeline import extract_df
 
     df = spark.read.parquet(path)
     t0 = time.monotonic()
-    # 1x cores: one wave of Python workers (round-3 re-sweep — 28-55%
-    # faster than the old 3x with the current kernel; BASELINE.md)
-    extract_df(df, num_partitions=cores).agg(F.count("*")).collect()
+    extract_df(df).agg(F.count("*")).collect()
     return time.monotonic() - t0
 
 
@@ -117,9 +118,9 @@ def main() -> None:
     extra["extract_turns"] = n_turns
 
     # ---- headline suite at full parallelism
-    timed_extraction(boot, tpath, CPUS)  # warm python workers/JIT
+    timed_extraction(boot, tpath)  # warm python workers/JIT
     ex_walls = [
-        round(timed_extraction(boot, tpath, CPUS), 3) for _ in range(QUERY_REPS)
+        round(timed_extraction(boot, tpath), 3) for _ in range(QUERY_REPS)
     ]
     wall = min(ex_walls)
     results["ex_extract"] = wall
@@ -186,7 +187,7 @@ def main() -> None:
                 extract_df(
                     spark.read.parquet(spath).limit(20000), num_partitions=cores
                 ).agg(F.count("*")).collect()  # warm the python workers
-                walls[cores].append(timed_extraction(spark, spath, cores))
+                walls[cores].append(timed_extraction(spark, spath))
                 spark.stop()
         t_low, t_high = min(walls[n_low]), min(walls[n_high])
         eff = (s_turns / t_high) / (s_turns / t_low) / (n_high / n_low)

@@ -185,29 +185,45 @@ def _write_partition_metrics(
     # overwrite with identical deterministic content (except wall_ms)
 
 
-def _default_partitions(spark, df: DataFrame) -> int:
-    """max(total cores, input file splits) — the round-3 re-swept
-    default for the Python-UDF stage.
+def default_fanout_partitions(df: DataFrame) -> int:
+    """Round-3 re-swept default for the per-row Python-UDF fan-out.
 
-    Two regimes, measured (BASELINE.md partition-count tables):
-    fixed per-task overhead + Python-worker switching dominate below
-    ~25-50k turns/partition (so ONE wave of workers — 1x cores — beat
-    the old 3x default by 28-55% on the 601k-turn bench tier), while
-    oversized partitions lose pipelining overlap and pay n·log n sort
-    cost (3x clawed back ~8-10% on the 2.4M-turn scale tier at 1x).
-    The input-split count scales with BYTES (~one split per
-    spark.sql.files.maxPartitionBytes = 128 MB), so at 100 TB this
-    default yields ~800k partitions of bounded size instead of
-    total-cores partitions of 30M turns — the floor only binds on
-    small inputs, where one wave is the measured winner. Callers that
-    know their row counts can pass num_partitions explicitly
-    (~25-50k turns/partition is the sweet spot)."""
+    Rule: ``cores`` (ONE wave of Python workers) when the input is at
+    most two waves of files; the input's own file count when it is
+    bigger; ``max(cores, spark.sql.shuffle.partitions)`` when the
+    plan is not file-backed (volume unknowable without running a job).
+
+    Why, measured (BASELINE.md partition-count tables): fixed
+    per-task + Python-worker-switch overhead dominates below ~25-50k
+    turns/partition, so one wave beat the old 3x-cores default by
+    28-55% on the 601k-turn tier; oversized partitions lose
+    pipelining overlap and pay n·log n sort cost, worth ~8-10% back
+    on the 2.4M-turn tier. Following the file layout on big inputs
+    bounds partitions near the writer's granularity (at 100 TB,
+    ~800k files → ~800k partitions, not total-cores partitions of
+    30M turns). The probes here NEVER run a Spark job —
+    ``inputFiles()`` is a listing; ``df.rdd.getNumPartitions()``
+    (the round-3 first attempt) materializes every upstream shuffle
+    stage under AQE, silently doubling a derived input's most
+    expensive stages. Callers that know their row counts can pass
+    ``num_partitions`` explicitly (~25-50k turns/partition is the
+    sweet spot)."""
+    spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     try:
-        input_splits = df.rdd.getNumPartitions()  # metadata-only
+        n_files = len(df.inputFiles())  # file listing — never a job
     except Exception:
-        input_splits = 0
-    return max(cores, input_splits)
+        n_files = 0
+    if n_files == 0:
+        # non-file-backed plan (createDataFrame, pure-shuffle input):
+        # keep the user-tuned shuffle floor — on a dynamic-allocation
+        # cluster defaultParallelism can be tiny at session start
+        return max(
+            cores, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    if n_files <= 2 * cores:
+        return cores  # small input: one wave, the measured winner
+    return n_files
 
 
 def extract_df(
@@ -225,7 +241,7 @@ def extract_df(
     spans, failure). Pure transformation — callers choose the sink."""
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = _default_partitions(spark, df)
+        num_partitions = default_fanout_partitions(df)
     fn = make_extract_fn(
         transformation, metrics_dir, run_id, chunk_id, input_snapshot_id,
         row_fn=row_fn,
@@ -278,7 +294,16 @@ def extract_df_deduped(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = _default_partitions(spark, df)
+        # NOT the file-layout rule: this repartition carries the
+        # DISTINCT payload set, whose size is unrelated to the raw
+        # input's file count (billions of duplicate turns → thousands
+        # of fingerprints; input-splits-many near-empty partitions
+        # would reintroduce exactly the per-task overhead the
+        # partition re-sweep removed)
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
     fp = F.coalesce(F.md5("text"), F.lit("NULL")).alias("fp")
     keyed = df.select("conv_id", "turn_idx", F.col("text"), fp)
     distinct = (

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..kernel.parse import ParseError, parse_payload
 from ..kernel.transformation import Transformation
+from .extract_pipeline import default_fanout_partitions
 
 
 def transform_df(
@@ -56,9 +57,7 @@ def transform_df(
         raise ValueError("on_error must be 'skip' or 'raise'")
     spark = df.sparkSession
     if num_partitions is None:
-        from .extract_pipeline import _default_partitions
-
-        num_partitions = _default_partitions(spark, df)
+        num_partitions = default_fanout_partitions(df)
 
     out_schema_str = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"

@@ -60,7 +60,7 @@ def main() -> int:
                 spark.read.parquet(spath).limit(20000), num_partitions=cores
             ).agg(F.count("*")).collect()
             loads.append(round(os.getloadavg()[0], 2))
-            walls[cores].append(bench.timed_extraction(spark, spath, cores))
+            walls[cores].append(bench.timed_extraction(spark, spath))
             spark.stop()
     t_low, t_high = min(walls[n_low]), min(walls[n_high])
     eff = (t_low / t_high) / (n_high / n_low)
