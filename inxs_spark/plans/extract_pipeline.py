@@ -189,9 +189,14 @@ def default_fanout_partitions(df: DataFrame) -> int:
     """Round-3 re-swept default for the per-row Python-UDF fan-out.
 
     Rule: ``cores`` (ONE wave of Python workers) when the input is at
-    most two waves of files; the input's own file count when it is
-    bigger; ``max(cores, spark.sql.shuffle.partitions)`` when the
-    plan is not file-backed (volume unknowable without running a job).
+    most two waves of files; the input's own file count — capped at
+    32 waves — when it is bigger; ``max(cores,
+    spark.sql.shuffle.partitions)`` when the plan is not file-backed
+    (volume unknowable without running a job). The rule is
+    parallelism-RELATIVE: the same input can resolve to one wave at
+    high core counts and to the file layout at low ones — the
+    adaptive default is part of the job, including in the N-vs-4N
+    scaling evidence (each level runs its own default).
 
     Why, measured (BASELINE.md partition-count tables): fixed
     per-task + Python-worker-switch overhead dominates below ~25-50k
@@ -218,12 +223,24 @@ def default_fanout_partitions(df: DataFrame) -> int:
         # non-file-backed plan (createDataFrame, pure-shuffle input):
         # keep the user-tuned shuffle floor — on a dynamic-allocation
         # cluster defaultParallelism can be tiny at session start
-        return max(
-            cores, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
+        return max(cores, _shuffle_floor(spark))
     if n_files <= 2 * cores:
         return cores  # small input: one wave, the measured winner
-    return n_files
+    # follow the file layout, but cap at 32 waves: file COUNT is not
+    # split count — a streaming-written corpus of 100k tiny files must
+    # not become 100k near-empty fan-out partitions (the per-task-
+    # overhead regime the re-sweep removed); 32 waves bounds task
+    # count while keeping partitions ≤ input-file granularity
+    return min(n_files, 32 * cores)
+
+
+def _shuffle_floor(spark) -> int:
+    """User-tuned spark.sql.shuffle.partitions as an int, tolerating
+    platforms that set it non-numerically (e.g. 'auto')."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (ValueError, TypeError):
+        return 32
 
 
 def extract_df(
@@ -301,8 +318,7 @@ def extract_df_deduped(
         # would reintroduce exactly the per-task overhead the
         # partition re-sweep removed)
         num_partitions = max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            spark.sparkContext.defaultParallelism, _shuffle_floor(spark)
         )
     fp = F.coalesce(F.md5("text"), F.lit("NULL")).alias("fp")
     keyed = df.select("conv_id", "turn_idx", F.col("text"), fp)

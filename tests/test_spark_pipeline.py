@@ -307,6 +307,36 @@ def test_contract_deduped_equals_plain(spark, tiny_transcripts):
     assert a == b
 
 
+def test_default_fanout_partitions_rule(spark, tiny_transcripts, tmp_out):
+    """The three branches + boundary of the fan-out default: one wave
+    for ≤ 2-waves-of-files inputs, file layout (capped at 32 waves)
+    beyond, shuffle-conf floor for non-file-backed plans."""
+    from inxs_spark.plans.extract_pipeline import default_fanout_partitions
+
+    cores = spark.sparkContext.defaultParallelism
+    conf_floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # file-backed, few files → one wave of cores
+    few = spark.read.parquet(tiny_transcripts)
+    n_files = len(few.inputFiles())
+    if n_files <= 2 * cores:
+        assert default_fanout_partitions(few) == cores
+
+    # many files (> 2*cores) → the file layout
+    many_path = os.path.join(tmp_out, "many_files")
+    spark.range(2 * cores + 8).repartition(2 * cores + 8).write.mode(
+        "overwrite"
+    ).parquet(many_path)
+    many = spark.read.parquet(many_path)
+    got = default_fanout_partitions(many)
+    assert got == min(len(many.inputFiles()), 32 * cores)
+    assert got > 2 * cores
+
+    # non-file-backed plan → max(cores, shuffle conf), and never a job
+    derived = spark.range(10).selectExpr("id")
+    assert default_fanout_partitions(derived) == max(cores, conf_floor)
+
+
 def test_transform_df_matches_serial_kernel(spark, tiny_transcripts):
     """Generic runner parity: Spark table-records output must equal the
     serial kernel applied per turn (same transformation object)."""
