@@ -690,6 +690,29 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-containment detection (RefinedWeb-style substring
+    dedup at window granularity): for every doc_id < 30 a synthetic
+    companion doc holding its first 60% of tokens is added; each
+    companion must be detected as contained in its original (the
+    sliding-window outer side makes detection offset-independent).
+    Value-checked against DuckDB computing the identical windows."""
+    from inxs_spark.operators.text import containment_pairs
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    prefix = F.expr(
+        "array_join(slice(split(text, ' '), 1, "
+        "cast(size(split(text, ' ')) * 0.6 as int)), ' ')"
+    )
+    contained = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), prefix.alias("text")
+    )
+    docs = base.select("doc_id", "text").unionAll(contained)
+    return containment_pairs(docs, window_tokens=8, min_frac=0.8).orderBy(
+        "inner_id", "outer_id"
+    )
+
+
 def q_conversation_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forked-conversation detection over a conv structure derived
     deterministically from the documents table (50 convs x 10 turns);
@@ -1379,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_val_test": q_train_val_test,
         "q_conversation_prefix_groups": q_conversation_prefix_groups,
         "q_lm_perplexity": q_lm_perplexity,
+        "q_containment_pairs": q_containment_pairs,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1800,6 +1824,59 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(logp), 4) AS avg_logp,
                    round(exp(-avg(logp)), 2) AS ppl
             FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q_containment_pairs": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 30
+            ), contained AS (
+              SELECT doc_id + 10000 AS doc_id,
+                     array_to_string(list_slice(string_split(text, ' '), 1,
+                         CAST(floor(len(string_split(text, ' ')) * 0.6) AS INT)),
+                         ' ') AS text
+              FROM base
+            ), all_docs AS (
+              SELECT * FROM base UNION ALL SELECT * FROM contained
+            ), t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM all_docs
+            ), inner_w AS (  -- non-overlapping full-length windows
+              SELECT DISTINCT doc_id AS inner_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(l) - 7, 1) + 1, 8),
+                         s -> md5(array_to_string(list_slice(l, s, s + 7), ' '))
+                     )) AS w_md5
+              FROM t
+            ), n_inner AS (
+              SELECT inner_id, count(*) AS n_inner_windows
+              FROM inner_w GROUP BY inner_id
+            ), outer_w AS (  -- sliding windows, one per token offset
+              SELECT DISTINCT doc_id AS outer_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(l) - 7, 1) + 1, 1),
+                         s -> md5(array_to_string(list_slice(l, s, s + 7), ' '))
+                     )) AS w_md5
+              FROM t
+            ), hot AS (
+              SELECT w_md5 FROM outer_w
+              GROUP BY w_md5 HAVING count(DISTINCT outer_id) > 50
+            ), outer_pruned AS (
+              SELECT o.* FROM outer_w o LEFT JOIN hot h USING (w_md5)
+              WHERE h.w_md5 IS NULL
+            ), shared AS (
+              SELECT i.inner_id, o.outer_id, count(*) AS n_shared_windows
+              FROM inner_w i JOIN outer_pruned o USING (w_md5)
+              WHERE i.inner_id != o.outer_id
+              GROUP BY i.inner_id, o.outer_id
+            )
+            SELECT s.inner_id, s.outer_id,
+                   s.n_shared_windows,
+                   n.n_inner_windows,
+                   round(CAST(s.n_shared_windows AS DOUBLE)
+                         / n.n_inner_windows, 4) AS containment_frac
+            FROM shared s JOIN n_inner n USING (inner_id)
+            -- filter on the ROUNDED frac, mirroring the Spark side
+            WHERE round(CAST(s.n_shared_windows AS DOUBLE)
+                        / n.n_inner_windows, 4) >= 0.8
+            ORDER BY inner_id, outer_id
         """,
         "q_conversation_prefix_groups": """
             WITH t AS (

@@ -581,6 +581,90 @@ def assign_splits(
     return df.withColumn("split", expr)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_frac: float = 0.8,
+    max_window_df: int = 50,
+) -> DataFrame:
+    """Document-containment candidates: (inner_id, outer_id,
+    n_shared_windows, n_inner_windows, containment_frac) for pairs
+    where ≥ ``min_frac`` of the inner doc's aligned token windows
+    occur (at ANY offset) in the outer doc — the near-containment
+    case behind crawl artifacts like article vs article+comments
+    (RefinedWeb-style substring dedup at window granularity).
+
+    Shape: the INNER side hashes non-overlapping windows (n/w rows
+    per doc); the OUTER side hashes SLIDING windows (one per token —
+    linear, so containment is detected regardless of token offset);
+    one digest join + one pair aggregate. Windows occurring in more
+    than ``max_window_df`` outer documents are dropped before the
+    join (boilerplate windows would otherwise make it quadratic —
+    same no-silent-cap philosophy as MinHash: the drop bounds work,
+    and genuinely-contained pairs still match on their non-boilerplate
+    windows)."""
+    toks = F.split(F.col(text_col), " ")
+    # inner: non-overlapping FULL-LENGTH windows only (a short tail
+    # window could never match an outer sliding window and would cap
+    # containment_frac below 1 even for a true prefix)
+    inner_starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(window_tokens - 1), F.lit(1)),
+        F.lit(window_tokens),
+    )
+    inner = df.select(
+        F.col(id_col).alias("inner_id"),
+        F.explode(inner_starts).alias("__s"),
+        toks.alias("__t"),
+    ).select(
+        "inner_id",
+        F.md5(F.array_join(F.slice("__t", F.col("__s"), window_tokens), " "))
+        .alias("w_md5"),
+    ).distinct()
+    n_inner = inner.groupBy("inner_id").agg(
+        F.count("*").cast("long").alias("n_inner_windows")
+    )
+    # sliding windows: starts 1..n-w+1 (every offset)
+    outer_starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(window_tokens - 1), F.lit(1)),
+    )
+    outer = df.select(
+        F.col(id_col).alias("outer_id"),
+        F.explode(outer_starts).alias("__s"),
+        toks.alias("__t"),
+    ).select(
+        "outer_id",
+        F.md5(F.array_join(F.slice("__t", F.col("__s"), window_tokens), " "))
+        .alias("w_md5"),
+    ).distinct()
+    hot = (
+        outer.groupBy("w_md5")
+        .agg(F.countDistinct("outer_id").alias("__df"))
+        .filter(F.col("__df") > max_window_df)
+        .select("w_md5")
+    )
+    outer_pruned = outer.join(F.broadcast(hot), "w_md5", "left_anti")
+    shared = (
+        inner.join(outer_pruned, "w_md5")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )
+    return (
+        shared.join(n_inner, "inner_id")
+        .withColumn(
+            "containment_frac",
+            F.round(F.col("n_shared_windows") / F.col("n_inner_windows"), 4),
+        )
+        .filter(F.col("containment_frac") >= min_frac)
+        .select("inner_id", "outer_id", "n_shared_windows",
+                "n_inner_windows", "containment_frac")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -305,6 +305,30 @@ class TestDedup:
         assert out2[1].n_lines_in == 2 and out2[1].n_lines_kept == 1
         assert out2[2].text == "" and out2[2].n_lines_kept == 0
 
+    def test_containment_pairs(self, spark):
+        """A doc whose text is an offset substring of another is
+        detected (sliding outer windows make detection alignment-
+        independent); unrelated docs are not; the inner/outer roles
+        are directional."""
+        from inxs_spark.operators.text import containment_pairs
+
+        big = " ".join(f"w{i}" for i in range(64))
+        # contained at offset 5 (NOT window-aligned) — 2 full windows
+        inner = " ".join(f"w{i}" for i in range(5, 5 + 16))
+        rows = [
+            (1, big),
+            (2, inner),
+            (3, "totally different words " + " ".join(f"x{i}" for i in range(20))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.inner_id, r.outer_id): r for r in
+               containment_pairs(df, window_tokens=8, min_frac=0.8).collect()}
+        assert (2, 1) in got
+        assert got[(2, 1)].containment_frac == 1.0
+        assert got[(2, 1)].n_inner_windows == 2
+        assert (1, 2) not in got  # big is not contained in small
+        assert not any(3 in k for k in got)
+
     def test_repeated_window_stats(self, spark):
         """Planted aligned 4-token repetition across docs is counted;
         unique windows are not; the short tail window counts as one."""
