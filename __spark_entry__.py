@@ -1996,11 +1996,11 @@ def oracle_sql() -> dict[str, str]:
                      || regexp_replace(u,
                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
               FROM s1
-            ), s3 AS (  -- default ports
+            ), s3 AS (  -- default ports (optional userinfo prefix)
               SELECT doc_id, url,
                      regexp_replace(
-                       regexp_replace(u, '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
-                       '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u
+                       regexp_replace(u, '^(http://(?:[^/?#@]*@)?[^/?#:]*):80([/?#]|$)', '\1\2'),
+                       '^(https://(?:[^/?#@]*@)?[^/?#:]*):443([/?#]|$)', '\1\2') AS u
               FROM s2
             ), s4 AS (  -- drop utm_*, sort params
               SELECT doc_id, url,

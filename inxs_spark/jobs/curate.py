@@ -66,7 +66,13 @@ def curate(
 
     dd_col = text_col
     if normalize:
+        # helper-column name guaranteed absent from df.columns —
+        # withColumn silently REPLACES an existing column, so a caller
+        # frame that already had one named '__norm_text' would be
+        # corrupted (round-3 advice finding)
         dd_col = "__norm_text"
+        while dd_col in df.columns:
+            dd_col = "_" + dd_col
         df = df.withColumn(dd_col, normalize_expr(text_col))
 
     deduped = exact_dedup(df, id_col, dd_col)

@@ -147,13 +147,33 @@ def derive_max_bucket(n_rows: int, lo: int = 64, hi: int = 4096) -> int:
 
 
 def bounded_count(df: DataFrame, saturation: int) -> int:
-    """Row count that never processes more than ``saturation`` rows:
-    ``limit(saturation).count()``. Returns the exact count below the
-    saturation point and exactly ``saturation`` at or above it — the
-    right primitive for deriving CLAMPED parameters, where every
-    n ≥ saturation maps to the same value anyway. Replaces round 2's
-    full-corpus ``df.count()`` (a complete extra pass at 100 TB)."""
-    return df.limit(saturation).count()
+    """Saturating row count for deriving CLAMPED parameters: returns
+    the exact count below ``saturation`` and exactly ``saturation`` at
+    or above it (every n ≥ saturation maps to the same derived value
+    anyway).
+
+    Cost profile (round-3 advice fix): ``limit(n).count()`` plans as
+    LocalLimit → Exchange SinglePartition → GlobalLimit — every
+    upstream partition computes fully and all locally-capped rows
+    funnel through ONE reduce task, so the old implementation could be
+    SLOWER than the parallel full count it replaced. This version sums
+    per-partition counts that each stop consuming their iterator at
+    ``saturation`` rows: fully parallel, no single-partition exchange,
+    and per-TASK work is bounded at ``saturation`` rows. Total work is
+    therefore ≤ saturation × n_partitions rows (NOT ≤ saturation
+    globally — early cross-partition termination would need the very
+    driver round-trips this avoids); callers with a metadata row-count
+    hint (``n_rows=``) should always prefer it and skip the probe."""
+    def _cap(it):
+        c = 0
+        for _ in it:
+            c += 1
+            if c >= saturation:
+                break
+        yield c
+
+    total = df.select(F.lit(1).alias("one")).rdd.mapPartitions(_cap).sum()
+    return min(int(total), saturation)
 
 
 def minhash_lsh_candidates(
@@ -181,8 +201,9 @@ def minhash_lsh_candidates(
     assert bands * r == num_perm, "bands must divide num_perm"
     if max_bucket is None:
         # derive_max_bucket's hi clamp saturates at hi² rows, so a
-        # limit-probe bounded at hi² yields the IDENTICAL parameter as
-        # a full count without ever scanning more than 16.7M rows
+        # probe saturating at hi² yields the IDENTICAL parameter as a
+        # full count while bounding every task at 16.7M rows (see
+        # bounded_count for the real cost profile)
         saturation = 4096 * 4096
         n = bounded_count(df, saturation)
         max_bucket = derive_max_bucket(n)

@@ -237,9 +237,13 @@ def pairwise_ann_candidates(
     buckets (expected size corpus/2^p). ``n_planes=None`` (default)
     derives the plane count from the corpus size — pass ``n_rows`` (an
     external corpus-size hint, e.g. from table metadata) to skip the
-    probe entirely; otherwise a limit-bounded probe runs (exact below
-    16.7M rows, never a full-corpus count — round 2 ran one). A
-    saturated probe logs and uses the probe bound (planes err LOW:
+    probe entirely; otherwise a saturating probe runs, exact below its
+    536.9M-row saturation point (32·2^24 — round-3 advice fix: the
+    docstring previously claimed 16.7M). Below saturation the probe
+    does count every row, in parallel with per-task work bounded at
+    the saturation (see ``bounded_count``) — a metadata ``n_rows``
+    hint is always the cheaper path at scale. A saturated probe logs
+    and uses the probe bound (planes err LOW:
     too-few planes costs bucket size, never recall — too MANY planes
     is the recall killer for single-table hyperplane LSH)."""
     if n_planes is None:

@@ -588,6 +588,7 @@ def containment_pairs(
     window_tokens: int = 8,
     min_frac: float = 0.8,
     max_window_df: int = 50,
+    short_docs: str = "ignore",
 ) -> DataFrame:
     """Document-containment candidates: (inner_id, outer_id,
     n_shared_windows, n_inner_windows, containment_frac) for pairs
@@ -604,7 +605,20 @@ def containment_pairs(
     join (boilerplate windows would otherwise make it quadratic —
     same no-silent-cap philosophy as MinHash: the drop bounds work,
     and genuinely-contained pairs still match on their non-boilerplate
-    windows)."""
+    windows).
+
+    MINIMUM INNER-DOC LENGTH (round-3 advice): an inner doc with fewer
+    than ``window_tokens`` tokens emits one short window that can
+    never equal any full-length sliding window of a longer outer doc,
+    so with the default ``short_docs='ignore'`` verbatim containment
+    of sub-window-length docs is UNDETECTED. Pass
+    ``short_docs='match'`` to also match each short doc's whole-text
+    digest against outer sliding windows of the SAME token length:
+    one extra narrow aggregate finds which short lengths exist
+    (≤ window_tokens−1 values, driver-bounded), and the outer side
+    then emits sliding windows for exactly those lengths in the same
+    single pass — cost is one extra (n−L+1)-row stream per present
+    short length, so keep window_tokens small when enabling it."""
     toks = F.split(F.col(text_col), " ")
     # inner: non-overlapping FULL-LENGTH windows only (a short tail
     # window could never match an outer sliding window and would cap
@@ -640,6 +654,33 @@ def containment_pairs(
         F.md5(F.array_join(F.slice("__t", F.col("__s"), window_tokens), " "))
         .alias("w_md5"),
     ).distinct()
+    if short_docs == "match":
+        # which sub-window lengths actually occur as whole docs: one
+        # narrow length projection → ≤ window_tokens−1 distinct values
+        short_lens = sorted(
+            r.n for r in df.select(F.size(toks).alias("n"))
+            .filter((F.col("n") >= 1) & (F.col("n") < window_tokens))
+            .distinct().collect()
+        )
+        if short_lens:
+            lens_arr = F.array(*[F.lit(int(n)) for n in short_lens])
+            # one pass: for every present short length L, every outer
+            # doc emits its length-L sliding windows (digests only)
+            win_structs = F.expr(
+                "flatten(transform(__lens, L -> transform("
+                "sequence(1, greatest(size(__t) - L + 1, 1)), "
+                "s -> md5(array_join(slice(__t, s, L), ' ')))))"
+            )
+            outer_short = df.select(
+                F.col(id_col).alias("outer_id"),
+                toks.alias("__t"),
+                lens_arr.alias("__lens"),
+            ).select(
+                "outer_id", F.explode(win_structs).alias("w_md5")
+            ).distinct()
+            outer = outer.unionByName(outer_short).distinct()
+    elif short_docs != "ignore":
+        raise ValueError(f"short_docs must be 'ignore' or 'match', got {short_docs!r}")
     hot = (
         outer.groupBy("w_md5")
         .agg(F.countDistinct("outer_id").alias("__df"))

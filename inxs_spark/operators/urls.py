@@ -47,9 +47,12 @@ def canonical_url(url_col: str) -> Column:
         rest,
     )
     # 3 default ports — capture-the-follower instead of lookahead so
-    # the same pattern family works in RE2 engines (the DuckDB oracle)
-    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#]|$)", "$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+    # the same pattern family works in RE2 engines (the DuckDB oracle);
+    # an optional userinfo prefix ([^/?#@]*@) is allowed before the
+    # host, else a password's colon (user:pw@host:80) stops the host
+    # class early and the default port survives (round-3 advice)
+    u = F.regexp_replace(u, r"^(http://(?:[^/?#@]*@)?[^/?#:]*):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://(?:[^/?#@]*@)?[^/?#:]*):443([/?#]|$)", "$1$2")
     # 4+5: split off the query; drop empty and utm_* params; sort
     base = F.regexp_replace(u, r"\?.*$", "")
     query = F.regexp_extract(u, r"\?(.*)$", 1)
