@@ -776,18 +776,32 @@ def q_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (RFC 3986 §6 subset: fragment, case,
-    default port, utm_* params, param order, trailing slash) over
-    deterministically synthesized messy URLs — the key-maker for
-    URL-level dedup and per-domain quotas; value-checked against the
-    same rules expressed in DuckDB."""
+    default port incl. behind userinfo, utm_* params, param order,
+    trailing slash) over deterministically synthesized messy URLs —
+    the key-maker for URL-level dedup and per-domain quotas. Round 4
+    extends the corpus with ccTLD hosts (co.uk / com.au / sub.co.jp)
+    so registered_domain exercises the embedded public-suffix subset,
+    and with userinfo(+password) variants; value-checked against the
+    same rules — and the SAME suffix regex string — in DuckDB."""
     from inxs_spark.operators.urls import canonical_urls
 
+    m4 = F.col("doc_id") % 4
+    tld = (
+        F.when(m4 == 1, F.lit(".CO.UK"))
+        .when(m4 == 2, F.lit(".COM.AU"))
+        .when(m4 == 3, F.lit(".co.jp"))
+        .otherwise(F.lit(".COM"))
+    )
+    sub = F.when(m4 == 3, F.lit("Sub.")).otherwise(F.lit(""))
+    userinfo = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("User:PW@")).otherwise(F.lit(""))
+    )
     urls = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
-            F.lit("HTTPS://Example"),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit(".COM:443/Path/"),
+            F.lit("HTTPS://"), userinfo, sub,
+            F.lit("Example"), (F.col("doc_id") % 7).cast("string"), tld,
+            F.lit(":443/Path/"),
             F.col("doc_id").cast("string"),
             F.lit("/?utm_source=news&b=2&a=1#frag"),
         ).alias("url"),
@@ -1429,6 +1443,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+def _reg_dom_re() -> str:
+    """The registered-domain regex SHARED with the Spark side — one
+    pattern string, two engines (Java first-match / RE2 longest-match
+    both resolve to the multi-label suffix; see urls.py)."""
+    from inxs_spark.operators.urls import registered_domain_regex
+
+    return registered_domain_regex()
+
+
+_REG_DOM_RE = _reg_dom_re()
+
 _EN = "'the','and','of','to','is','in','it','you','that','was'"
 _DE = "'der','die','und','das','ist','nicht','ein','ich','mit','sie'"
 _FR = "'le','la','et','les','des','est','une','dans','que','pour'"
@@ -1976,11 +2001,18 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS repeated_frac
             FROM m GROUP BY doc_id ORDER BY doc_id
         """,
-        "q_url_canonicalize": r"""
+        "q_url_canonicalize": rf"""
             WITH urls AS (
               SELECT doc_id,
-                     'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR)
-                     || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                     'HTTPS://'
+                     || CASE WHEN doc_id % 5 = 0 THEN 'User:PW@' ELSE '' END
+                     || CASE WHEN doc_id % 4 = 3 THEN 'Sub.' ELSE '' END
+                     || 'Example' || CAST(doc_id % 7 AS VARCHAR)
+                     || CASE doc_id % 4 WHEN 1 THEN '.CO.UK'
+                                        WHEN 2 THEN '.COM.AU'
+                                        WHEN 3 THEN '.co.jp'
+                                        ELSE '.COM' END
+                     || ':443/Path/' || CAST(doc_id AS VARCHAR)
                      || '/?utm_source=news&b=2&a=1#frag' AS url
               FROM documents
             ), s1 AS (  -- strip fragment
@@ -1988,13 +2020,21 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(url, '#.*$', '') AS u
               FROM urls
             ), s2 AS (
-              -- lowercase scheme+host (the synthesized URLs carry no
-              -- userinfo, which the Spark side preserves case-exact)
+              -- lowercase scheme and host[:port] ONLY; userinfo stays
+              -- case-exact (RFC 3986 §6.2.2.1) — mirrors the Spark
+              -- three-part split on the same _SCHEME_AUTH pattern
               SELECT doc_id, url,
                      lower(regexp_extract(u,
-                         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                         '^([A-Za-z][A-Za-z0-9+.-]*://)(?:([^/?#@]*)@)?([^/?#]*)', 1))
+                     || CASE WHEN regexp_extract(u,
+                         '^([A-Za-z][A-Za-z0-9+.-]*://)(?:([^/?#@]*)@)?([^/?#]*)', 2) != ''
+                             THEN regexp_extract(u,
+                         '^([A-Za-z][A-Za-z0-9+.-]*://)(?:([^/?#@]*)@)?([^/?#]*)', 2) || '@'
+                             ELSE '' END
+                     || lower(regexp_extract(u,
+                         '^([A-Za-z][A-Za-z0-9+.-]*://)(?:([^/?#@]*)@)?([^/?#]*)', 3))
                      || regexp_replace(u,
-                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
+                         '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*', '') AS u
               FROM s1
             ), s3 AS (  -- default ports (optional userinfo prefix)
               SELECT doc_id, url,
@@ -2027,7 +2067,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(
                        regexp_extract(lower(url),
                            '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
-                       '([^.]+\.[^.]+)$', 1) AS registered_domain
+                       '{_REG_DOM_RE}', 1) AS registered_domain
             FROM s6 ORDER BY doc_id
         """,
         "q_boilerplate_lines": """

@@ -25,6 +25,100 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _SCHEME_AUTH = r"^([A-Za-z][A-Za-z0-9+.-]*://)(?:([^/?#@]*)@)?([^/?#]*)"
 
+#: Compact embedded subset of the PUBLIC Mozilla public-suffix list
+#: (publicsuffix.org): the common MULTI-LABEL suffixes under which
+#: domains register directly. Without these, last-two-labels collapses
+#: every *.co.uk site into one "registered_domain" and per-domain
+#: quotas / URL-dedup grouping are wrong for ccTLD-registered sites
+#: (round-3 verdict finding #3). This is deliberately a curated subset
+#: (~300 entries, stdlib-only, no network); the documented production
+#: seam is swapping in the full PSL file. Single-label TLDs need no
+#: entry — the last-2-labels fallback handles them.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = tuple(
+    f"{sld}.{tld}"
+    for tld, slds in (
+        ("uk", "ac co gov judiciary ltd me net nhs org plc police sch"),
+        ("au", "asn com edu gov id net org"),
+        ("jp", "ac ad co ed go gr lg ne or"),
+        ("nz", "ac co geek gen govt kiwi maori net org school"),
+        ("za", "ac co edu gov law mil net nom org school web"),
+        ("br", "art blog com eco edu gov mil net org"),
+        ("in", "ac co com edu firm gen gov ind mil net nic org res"),
+        ("cn", "ac com edu gov mil net org"),
+        ("mx", "com edu gob net org"),
+        ("ar", "com edu gob gov int mil net org"),
+        ("tr", "av bel biz com dr edu gen gov info k12 mil name net org pol tel tv web"),
+        ("tw", "com edu gov idv mil net org"),
+        ("kr", "ac co es go hs kg mil ms ne or pe re sc"),
+        ("id", "ac biz co go mil my net or sch web"),
+        ("il", "ac co gov idf k12 muni net org"),
+        ("th", "ac co go in mi net or"),
+        ("sg", "com edu gov net org per"),
+        ("my", "com edu gov mil name net org"),
+        ("hk", "com edu gov idv net org"),
+        ("ph", "com edu gov i mil net ngo org"),
+        ("vn", "ac biz com edu gov health info int name net org pro"),
+        ("ua", "com edu gov in net org"),
+        ("pl", "biz com edu gov info mil net org waw"),
+        ("eg", "com edu eun gov mil name net org sci"),
+        ("sa", "com edu gov med net org pub sch"),
+        ("ke", "ac co go info me mobi ne or sc"),
+        ("ng", "com edu gov i mil mobi name net org sch"),
+        ("gh", "com edu gov mil org"),
+        ("pk", "biz com edu fam gob gok gon gop gos gov net org web"),
+        ("bd", "ac com edu gov mil net org"),
+        ("lk", "ac assn com edu gov grp hotel int ltd net ngo org sch soc web"),
+        ("np", "com edu gov mil net org"),
+        ("uy", "com edu gub mil net org"),
+        ("py", "com coop edu gov mil net org"),
+        ("pe", "com edu gob mil net nom org"),
+        ("ec", "com edu fin gob gov info k12 med mil net org pro"),
+        ("bo", "com edu gob int mil net org tv web"),
+        ("cl", "gob gov mil"),
+        ("co", "com edu gov mil net nom org"),
+        ("ve", "co com edu gob info mil net org web"),
+        ("cr", "ac co ed fi go or sa"),
+        ("gt", "com edu gob ind mil net org"),
+        ("do", "art com edu gob gov mil net org sld web"),
+        ("hn", "com edu gob mil net org"),
+        ("ni", "ac biz co com edu gob in info int mil net nom org web"),
+        ("pa", "abo ac com edu gob ing med net nom org sld"),
+        ("sv", "com edu gob org red"),
+        ("cy", "ac biz com ekloges gov ltd mil net org press pro tm"),
+        ("gr", "com edu gov net org"),
+        ("rs", "ac co edu gov in org"),
+        ("hu", "co info org priv tm"),
+        ("at", "ac co gv or"),
+        ("es", "com edu gob nom org"),
+        ("it", "edu gov"),
+        ("fr", "asso avocat com gouv nom prd tm"),
+        ("pt", "com edu gov int net nome org publ"),
+        ("ca", "ab bc gc mb nb nf nl ns nt nu on pe qc sk yt"),
+        ("ro", "arts com firm info nom nt org rec store tm www"),
+    )
+    for sld in slds.split()
+)
+
+
+def registered_domain_regex() -> str:
+    """Regex (one capture group) extracting the registered domain from
+    a lowercased host, honoring MULTI_LABEL_SUFFIXES. Alternation
+    lists multi-label suffixes before the generic last-label fallback,
+    sorted longest-first: Java regex (Spark) takes the FIRST matching
+    alternative and RE2 (the DuckDB oracle) the LONGEST, so both
+    engines pick the multi-label suffix whenever one applies — the
+    single pattern string is shared verbatim by both sides.
+
+    Documented edge: a host that IS a bare multi-label suffix
+    (host='co.uk') matches the generic fallback and returns itself,
+    exactly as the pre-suffix-list rule did — identically in both
+    engines; real registrable hosts never take that branch."""
+    alts = sorted(
+        MULTI_LABEL_SUFFIXES, key=lambda s: (-s.count("."), -len(s), s)
+    )
+    body = "|".join(s.replace(".", r"\.") for s in alts)
+    return rf"([^.]+\.(?:{body}|[^.]+))$"
+
 
 def canonical_url(url_col: str) -> Column:
     """Column expression for the canonical form of ``url_col``."""
@@ -70,13 +164,16 @@ def canonical_url(url_col: str) -> Column:
 def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(url, canonical_url, host, registered_domain): host is the
     lowercased authority minus port/userinfo; registered_domain is the
-    last two labels (a public-suffix list is the production upgrade —
-    out of container scope, seam documented)."""
+    registrable domain — one label more than the matching public
+    suffix, using the embedded MULTI_LABEL_SUFFIXES subset (so
+    shop.example.co.uk → example.co.uk, not co.uk), falling back to
+    the last two labels under single-label TLDs. Swapping in the full
+    publicsuffix.org list is the documented production seam."""
     canon = canonical_url(url_col)
     host = F.regexp_extract(
         F.lower(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
     )
-    reg_dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    reg_dom = F.regexp_extract(host, registered_domain_regex(), 1)
     return df.select(
         F.col(url_col),
         canon.alias("canonical_url"),

@@ -528,6 +528,62 @@ class TestDedup:
         assert len(groups) == 1 and groups[0].n_variants == 2
         assert groups[0].canonical_url == "https://d.com/x?a=1&b=2"
 
+    def test_registered_domain_public_suffixes(self, spark):
+        """ccTLD-registered sites resolve to suffix+1 labels via the
+        embedded public-suffix subset instead of collapsing to the
+        bare suffix (round-3 verdict finding); generic TLDs keep the
+        last-two-labels rule; the bare suffix itself yields ''."""
+        from inxs_spark.operators.urls import canonical_urls
+
+        cases = [
+            ("https://example.co.uk/x", "example.co.uk"),
+            ("https://www.example.co.uk/x", "example.co.uk"),
+            ("https://a.b.shop.example.com.au/x", "example.com.au"),
+            ("https://Sub.Example.CO.JP/x", "example.co.jp"),
+            ("https://deep.gov.uk/x", "deep.gov.uk"),
+            ("https://www.example.com/x", "example.com"),
+            ("https://example.de/x", "example.de"),
+            # a BARE multi-label suffix falls through to the generic
+            # last-2-labels branch (documented edge: both engines agree
+            # on it, and such hosts don't occur as real sites)
+            ("https://co.uk/x", "co.uk"),
+            ("https://localhost/x", ""),      # single label
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = {r.url: r.registered_domain for r in canonical_urls(df).collect()}
+        for u, want in cases:
+            assert got[u] == want, (u, got[u], want)
+
+    def test_registered_domain_regex_cross_engine(self):
+        """The shared pattern resolves identically under Python re
+        (first-match, Java-like) and DuckDB RE2 (leftmost-longest) for
+        every embedded suffix — the property the oracle parity relies
+        on."""
+        import re
+
+        import duckdb
+
+        from inxs_spark.operators.urls import (
+            MULTI_LABEL_SUFFIXES,
+            registered_domain_regex,
+        )
+
+        pat = registered_domain_regex()
+        con = duckdb.connect()
+        hosts = [f"www.site.{s}" for s in MULTI_LABEL_SUFFIXES]
+        hosts += ["www.site.com", "site.co.uk", "x.y.z.example.ac.jp"]
+        duck = [
+            r[0] for r in con.execute(
+                "SELECT regexp_extract(h, ?, 1) FROM (SELECT unnest(?) AS h)",
+                [pat, hosts],
+            ).fetchall()
+        ]
+        for h, d in zip(hosts, duck):
+            m = re.search(pat, h)
+            py = m.group(1) if m else ""
+            assert py == d, (h, py, d)
+            assert py.startswith("site.") or h == "x.y.z.example.ac.jp", h
+
     def test_decontamination_normalized(self, spark):
         """A case/whitespace-disguised eval overlap is caught only with
         normalize=True."""
