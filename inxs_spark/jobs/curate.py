@@ -7,15 +7,31 @@
       → quality + language gate (stopword/punct/length score, lang-ID)
       → PII scrub              (emails, long digit runs)
       → deterministic quota sample per language (optional)
-      → parquet + one JSON stats line
+      → parquet + one JSON stats line + queryable metrics table
 
 Every stage is one of the repo's tested operators; this job is the
 composition a 100 TB curation run would ship. Stage plan notes:
 dedup/minhash shuffle digests and signatures (never full text twice),
-the near-dup drop is a broadcast anti-join of the (small) loser-id
-set, the quality gate is a codegen projection, quota sampling is a
-hash-ordered window. Dropped rows are COUNTED per stage (no silent
-attrition — the stats line is the lineage record).
+the near-dup drop is an anti-join of the loser-id set, the quality
+gate is a codegen projection, quota sampling is a hash-ordered window.
+Dropped rows are COUNTED per stage (no silent attrition — the stats
+line and the metrics table are the lineage record).
+
+SINGLE-PASS LINEAGE (round-3 verdict finding #2): the previous
+implementation ran five uncached ``.count()`` actions, each of which
+re-executed the whole upstream lineage from the input scan, and the
+final write recomputed everything once more — a ~5-6× work multiplier
+at scale. Stage outputs are now persisted (MEMORY_AND_DISK — spills,
+never OOMs) at each boundary: every stage computes EXACTLY ONCE, the
+input is scanned EXACTLY ONCE (test-asserted via a row-tap
+accumulator), each stage count reads its own cache, and earlier
+caches are released as soon as the next stage materializes. The FINAL
+stage stays cached so the caller's action (or the ``out=`` write this
+function performs) is a cache read, not a recompute; pass ``out=`` to
+have the write + full unpersist handled here, or call
+``spark.catalog.clearCache()`` when done in library use. At
+petabyte scale the same boundaries would be checkpoint TABLES rather
+than caches — the staging seam is this function.
 
 Local smoke:
 
@@ -27,8 +43,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: stage names in pipeline order — shared by stats, the metrics table
+#: and the tests
+CURATE_STAGES = (
+    "input",
+    "after_exact_dedup",
+    "after_near_dup_prune",
+    "after_quality_lang_gate",
+    "output",
+)
+
+CURATE_METRICS_SCHEMA = (
+    "op string, run_id string, stage string, stage_idx int, "
+    "rows bigint, rows_dropped bigint, wall_s double"
+)
 
 
 def curate(
@@ -40,6 +74,9 @@ def curate(
     langs: tuple[str, ...] | None = None,
     quota_per_lang: int | None = None,
     normalize: bool = True,
+    out: str | None = None,
+    metrics_out: str | None = None,
+    run_id: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation flow; returns (curated_df, stage_counts).
 
@@ -47,7 +84,15 @@ def curate(
     CANONICALIZED text (NFC + casefold + whitespace collapse) so that
     byte-level noise can't defeat fingerprinting — mixed-case or
     unicode-variant duplicates collapse; the surviving rows keep their
-    ORIGINAL text."""
+    ORIGINAL text.
+
+    ``out=`` writes the curated parquet here (the write is a cache
+    read) and releases every cache before returning. ``metrics_out=``
+    additionally writes the per-stage attrition lineage as a QUERYABLE
+    parquet metrics table (same pattern as the extraction runner's
+    metrics_table) plus one JSON line per stage under
+    ``<metrics_out>/metrics/``."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     from ..operators.dedup import (
@@ -62,7 +107,10 @@ def curate(
         quality_score,
     )
 
-    stats: dict[str, int] = {"input": df.count()}
+    lvl = StorageLevel.MEMORY_AND_DISK
+    t0 = time.monotonic()
+    walls: dict[str, float] = {}
+    stats: dict[str, int] = {}
 
     dd_col = text_col
     if normalize:
@@ -75,20 +123,37 @@ def curate(
             dd_col = "_" + dd_col
         df = df.withColumn(dd_col, normalize_expr(text_col))
 
-    deduped = exact_dedup(df, id_col, dd_col)
-    stats["after_exact_dedup"] = deduped.count()
+    # stage 0: the ONLY input scan — everything downstream reads this
+    # cache (exact_dedup alone consumes it twice: digest groups + join
+    # back)
+    c0 = df.persist(lvl)
+    stats["input"] = c0.count()
+    walls["input"] = time.monotonic() - t0
 
+    t = time.monotonic()
+    deduped = exact_dedup(c0, id_col, dd_col).persist(lvl)
+    stats["after_exact_dedup"] = deduped.count()
+    walls["after_exact_dedup"] = time.monotonic() - t
+    c0.unpersist()
+
+    t = time.monotonic()
     pairs = minhash_dedup_pairs(
         deduped, id_col=id_col, text_col=dd_col,
         threshold=jaccard_threshold,
     )
     # component-correct: keep the min id of every CONNECTED near-dup
-    # cluster (pairwise loser-dropping over-deletes on chains A~B~C)
+    # cluster (pairwise loser-dropping over-deletes on chains A~B~C);
+    # connected_components materializes the edge set eagerly — those
+    # bounded jobs read the deduped CACHE, not the input
     pruned = dedup_keep_one_per_cluster(deduped, pairs, id_col)
     if normalize:
         pruned = pruned.drop(dd_col)
+    pruned = pruned.persist(lvl)
     stats["after_near_dup_prune"] = pruned.count()
+    walls["after_near_dup_prune"] = time.monotonic() - t
+    deduped.unpersist()
 
+    t = time.monotonic()
     quality = quality_score(pruned, id_col, text_col).select(id_col, "quality")
     lang = language_id(pruned, id_col, text_col).select(id_col, "lang_pred")
     gated = (
@@ -98,8 +163,12 @@ def curate(
     )
     if langs:
         gated = gated.filter(F.col("lang_pred").isin(list(langs)))
+    gated = gated.persist(lvl)
     stats["after_quality_lang_gate"] = gated.count()
+    walls["after_quality_lang_gate"] = time.monotonic() - t
+    pruned.unpersist()
 
+    t = time.monotonic()
     scrubbed = gated.join(
         pii_scrub(gated, id_col, text_col).select(id_col, "scrubbed"), id_col
     ).withColumn(text_col, F.col("scrubbed")).drop("scrubbed")
@@ -113,8 +182,71 @@ def curate(
             .filter(F.col("__rn") <= quota_per_lang)
             .drop("__rn")
         )
+    # final stage cached too: the output count AND the caller's action
+    # (or the out= write below) both read it instead of re-running
+    # scrub+quota
+    scrubbed = scrubbed.persist(lvl)
     stats["output"] = scrubbed.count()
+    walls["output"] = time.monotonic() - t
+    gated.unpersist()
+
+    if out is not None:
+        scrubbed.write.mode("overwrite").parquet(out)
+    if metrics_out is not None:
+        write_curate_metrics(
+            df.sparkSession, metrics_out, stats, walls,
+            run_id=run_id or uuid.uuid4().hex[:12],
+        )
+    if out is not None:
+        scrubbed.unpersist()
     return scrubbed, stats
+
+
+def write_curate_metrics(
+    spark: SparkSession,
+    metrics_out: str,
+    stats: dict,
+    walls: dict | None = None,
+    run_id: str = "local",
+    op: str = "curate",
+) -> None:
+    """Persist per-stage attrition lineage: one JSON line per stage
+    under ``<metrics_out>/metrics/`` (append-only, atomic rename —
+    same contract as the extraction runner's per-partition records)
+    and the compacted ``<metrics_out>/metrics_table`` parquet, so a
+    production curation run's funnel is queryable next to the
+    extraction lineage instead of living only in a returned dict."""
+    walls = walls or {}
+    stages = [s for s in CURATE_STAGES if s in stats]
+    rows = []
+    prev = None
+    for i, s in enumerate(stages):
+        n = int(stats[s])
+        rows.append({
+            "op": op,
+            "run_id": run_id,
+            "stage": s,
+            "stage_idx": i,
+            "rows": n,
+            "rows_dropped": (prev - n) if prev is not None else 0,
+            "wall_s": round(float(walls.get(s, 0.0)), 3),
+        })
+        prev = n
+    mdir = os.path.join(metrics_out, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{op}_{run_id}.json.tmp")
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, os.path.join(mdir, f"{op}_{run_id}.json"))
+    paths = [
+        os.path.join(mdir, n)
+        for n in sorted(os.listdir(mdir))
+        if n.endswith(".json")
+    ]
+    spark.read.schema(CURATE_METRICS_SCHEMA).json(paths).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(metrics_out, "metrics_table"))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -135,15 +267,17 @@ def main(argv: list[str] | None = None) -> int:
     spark: SparkSession = get_spark(master=args.master, app_name="inxs_spark-curate")
     try:
         df = spark.read.parquet(args.input)
-        curated, stats = curate(
+        out_dir = os.path.join(args.out, "curated")
+        _curated, stats = curate(
             df,
             jaccard_threshold=args.jaccard,
             min_quality=args.min_quality,
             langs=tuple(args.langs.split(",")) if args.langs else None,
             quota_per_lang=args.quota,
+            out=out_dir,
+            metrics_out=args.out,
         )
-        curated.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"output_path": args.out, **stats}))
+        print(json.dumps({"output_path": out_dir, **stats}))
     finally:
         spark.stop()
     return 0

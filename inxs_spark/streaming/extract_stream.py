@@ -187,7 +187,15 @@ def streaming_curate(
 
     Returns the started StreamingQuery. State is bounded (dedup
     digests evicted past the watermark); the sink is replay-idempotent
-    (each batch overwrites its own partition directory)."""
+    (each batch overwrites its own partition directory). Each
+    microbatch appends one attrition-lineage row (rows_in after the
+    streaming dedup → rows_kept past extraction+quality gate) to
+    ``out_root/metrics`` and refreshes the queryable
+    ``out_root/metrics_table`` parquet — the streaming counterpart of
+    the batch curate() metrics table (round-3 verdict task 8). The
+    per-batch count actions are bounded by microbatch size, never
+    corpus size."""
+    from ..jobs.curate import write_curate_metrics
     from ..operators.text import quality_score
 
     stream = (
@@ -206,6 +214,7 @@ def streaming_curate(
     _reject_legacy_sink_layout(out_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows_in = batch_df.count()
         extracted = extract_df(batch_df, num_partitions=num_partitions).filter(
             F.col("failure").isNull() & (F.length("extracted_text") > 0)
         )
@@ -219,8 +228,13 @@ def streaming_curate(
         gated = keyed.join(q, "__key").filter(
             F.col("quality") >= min_quality
         ).drop("__key")
-        gated.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch_id={batch_id}")
+        part_dir = os.path.join(out_path, f"batch_id={batch_id}")
+        gated.write.mode("overwrite").parquet(part_dir)
+        rows_kept = batch_df.sparkSession.read.parquet(part_dir).count()
+        write_curate_metrics(
+            batch_df.sparkSession, out_root,
+            {"input": rows_in, "output": rows_kept},
+            run_id=f"batch{batch_id}", op="streaming_curate",
         )
 
     writer = (
