@@ -389,6 +389,37 @@ class TestDedup:
         assert out2[1].n_lines_in == 2 and out2[1].n_lines_kept == 1
         assert out2[2].text == "" and out2[2].n_lines_kept == 0
 
+    def test_boilerplate_blacklist_broadcast_guard(self, spark):
+        """A mega-blacklist (min_docs=2 where most distinct lines
+        qualify) trips the size guard: the anti-join falls back to a
+        digest-keyed shuffle join — no BroadcastHashJoin/broadcast
+        exchange in the executed plan — with output IDENTICAL to the
+        broadcast path, and the chosen path is surfaced."""
+        from inxs_spark.operators.text import remove_boilerplate_lines
+
+        common = [f"shared sentence number {i}" for i in range(40)]
+        rows = [
+            (d, "\n".join(common + [f"unique to doc {d}"]))
+            for d in range(1, 5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        path_b, path_s = [], []
+        wide = remove_boilerplate_lines(
+            df, min_docs=2, _join_path_out=path_b
+        )
+        got_b = sorted(map(tuple, wide.collect()))
+        forced = remove_boilerplate_lines(
+            df, min_docs=2, broadcast_max_lines=8, _join_path_out=path_s
+        )
+        got_s = sorted(map(tuple, forced.collect()))
+        assert path_b == ["broadcast"] and path_s == ["shuffle_hash"]
+        assert got_b == got_s
+        assert all(r[1] == f"unique to doc {r[0]}" for r in got_s)
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("Broadcast" not in ln for ln in anti), plan[:2000]
+
     def test_containment_pairs(self, spark):
         """A doc whose text is an offset substring of another is
         detected (sliding outer windows make detection alignment-
