@@ -563,17 +563,36 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: docs with doc_id < 20 stand in for
-    the eval set; training docs (doc_id >= 20) are flagged when they
-    share any 5-gram with it (broadcast eval-gram join)."""
+    """Benchmark decontamination, BOTH variants in one oracled frame
+    (round-4 consolidation): docs with doc_id < 20 stand in for the
+    eval set; training docs (doc_id >= 20) are flagged when they share
+    any 5-gram with it (broadcast eval-gram join). The *_norm columns
+    run the canonical pre-pass (NFC + casefold + whitespace collapse)
+    on BOTH sides against a case/spacing-disguised eval set — the
+    disguise defeats the raw variant but not the normalized one."""
     from inxs_spark.operators.text import decontamination
 
     docs = _t(spark, sf_dir, "documents")
-    return decontamination(
+    raw = decontamination(
         docs.filter(F.col("doc_id") >= 20),
         docs.filter(F.col("doc_id") < 20),
         n=5,
-    ).orderBy("doc_id")
+    ).select("doc_id", "n_hits", "contaminated")
+    disguised_eval = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+    )
+    norm = decontamination(
+        docs.filter(F.col("doc_id") >= 20),
+        disguised_eval,
+        n=5,
+        normalize=True,
+    ).select(
+        "doc_id",
+        F.col("n_hits").alias("n_hits_norm"),
+        F.col("contaminated").alias("contaminated_norm"),
+    )
+    return raw.join(norm, "doc_id").orderBy("doc_id")
 
 
 def q_decontamination_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1047,7 +1066,452 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# queries — not SQL-expressible (rows-only checks)
+# round-4 consolidated / gate queries
+#
+# The driver records at most the FIRST 50 queries() entries (observed:
+# CORRECTNESS_r03 contains exactly the first 50 registry keys in
+# order), so rows-only demos parked after position 50 never got a
+# driver row. Round 4 therefore consolidates the registry to EXACTLY
+# 50 entries, every one DuckDB-oracled: per-doc signal projections
+# merge into q_doc_signals, the four kernel parity gates into
+# q_kernel_parity, and every formerly rows-only path gains either a
+# real cross-engine oracle (MinHash) or a parity/bound gate whose
+# value the oracle pins (SimHash blocking, LSH recall, curation
+# funnel, sketches, zlib, PDF/media decode). The raw-output demos
+# live on in extra_queries().
+# ---------------------------------------------------------------------------
+
+
+def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text signals in ONE projection-joined frame:
+    token counts (whitespace + BPE-ish regex), quality score features,
+    language ID, fingerprints, repeated-trigram ratio — five operators,
+    one oracled query (round-4 registry consolidation; each column set
+    keeps its operator's exact semantics and former per-query oracle
+    fragment)."""
+    from inxs_spark.operators.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+        repetition_ratio,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_count(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
+    qs = quality_score(docs).select(
+        "doc_id", "n_chars", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality",
+    )
+    li = language_id(docs).select("doc_id", "lang_pred", "stopword_hits")
+    fp = fingerprint(docs).select("doc_id", "fp_md5", "fp_block")
+    rr = repetition_ratio(docs, n=3).select(
+        "doc_id", "n_grams", "n_distinct_grams", "rep_ratio"
+    )
+    return (
+        tc.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id")
+        .join(rr, "doc_id").orderBy("doc_id")
+    )
+
+
+def q_kernel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL FOUR zero-divergence parity gates in one oracle row
+    (round-4 consolidation; each underlying computation is unchanged):
+    plain-vs-deduped extraction pipelines, WARC source vs serial
+    kernel, generic transformation runner vs serial kernel, and the
+    DOM-density heuristic vs its serial application. Any divergence in
+    any non-SQL execution path makes the corresponding column non-zero
+    and hash-fails the driver check."""
+    a = q_extract_parity(spark, sf_dir).withColumnRenamed(
+        "n_mismatches", "n_extract_mismatches")
+    b = q_warc_parity(spark, sf_dir).withColumnRenamed(
+        "n_mismatches", "n_warc_mismatches")
+    c = q_table_records_parity(spark, sf_dir).withColumnRenamed(
+        "n_mismatches", "n_table_records_mismatches")
+    d = q_density_parity(spark, sf_dir).withColumnRenamed(
+        "n_mismatches", "n_density_mismatches")
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a REAL cross-engine oracle:
+    at r=2 rows/band (num_perm=64, bands=32) candidate recall at
+    J≥0.5 is 1−(1−J²)^32 ≥ 0.9999, and the exact-Jaccard verify
+    stage makes the surviving pairs EQUAL the DuckDB all-pairs
+    3-word-shingle Jaccard ≥ 0.5 set (verified equal at sf0.001 and
+    sf0.01). The scale path (banding, window-capped hot buckets,
+    digests-only shuffles) is exactly what runs at 100 TB — only the
+    oracle side is quadratic."""
+    from inxs_spark.operators.dedup import minhash_dedup_pairs
+
+    return (
+        minhash_dedup_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5,
+            num_perm=64, bands=32,
+        )
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocking EXHAUSTIVENESS gate: the Manku combined-block
+    candidate generation (d=8 → C(12,4)=495 key tables) must find the
+    IDENTICAL pair set as a driver-side brute-force popcount over the
+    same signatures — pinning the pigeonhole recall guarantee to a
+    0-mismatch oracle row. Signatures are computed ONCE (distributed,
+    vectorized UDF) and shared by both sides, so the gate isolates the
+    blocking plan, the one part brute force can't scale past."""
+    from inxs_spark.operators.dedup import simhash, simhash_pairs_from_sigs
+
+    docs = _t(spark, sf_dir, "documents")
+    sig_rows = [
+        (r[0], r[1])
+        for r in simhash(docs).withColumnRenamed("doc_id", "id").collect()
+    ]
+    sigs = spark.createDataFrame(sig_rows, "id long, simhash long")
+    dist = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=8).collect()
+    }
+    brute = set()
+    for i in range(len(sig_rows)):
+        ai, si = sig_rows[i]
+        for j in range(i + 1, len(sig_rows)):
+            bj, sj = sig_rows[j]
+            if ((si ^ sj) & 0xFFFFFFFFFFFFFFFF).bit_count() <= 8:
+                brute.add((ai, bj) if ai < bj else (bj, ai))
+    n_mismatch = len(dist.symmetric_difference(brute))
+    return spark.createDataFrame(
+        [(len(sig_rows), n_mismatch)],
+        "n_docs long, n_pair_mismatches long",
+    )
+
+
+def q_embedding_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the LSH-bucketed embedding near-dup SCALE path against
+    the exact baseline: zero false positives (every emitted pair
+    re-verifies cosine ≥ threshold exactly) and recall ≥ 1/4 of the
+    exact pair set (the embeddings table is near-uniform — hyperplane
+    LSH recall is structurally low there and measured stable at 0.286
+    across sf tiers; clustered real corpora sit far higher, see
+    PLANS.md). n_exact_pairs is the DuckDB-recomputed quadratic truth;
+    the flags pin the approximation contract."""
+    from inxs_spark.operators.similarity import pairwise_ann_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    lsh = pairwise_ann_candidates(emb, dim=dim, min_cos=0.45).select(
+        "id_a", "id_b"
+    )
+    exact = q_embedding_near_dup_exact(spark, sf_dir).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_fp = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, n_fp, bool(4 * n_lsh >= n_exact))],
+        "n_exact_pairs long, n_false_positives long, recall_ge_quarter boolean",
+    )
+
+
+def q_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving-path gate: hyperplane-LSH multiprobe and IVF top-10
+    each return a full k and recall ≥ 0.5 against the exact brute-force
+    top-10 (measured 0.6-0.8 on the near-uniform test embeddings at
+    both sf tiers); the exact top-1 id/cosine columns are recomputed
+    independently by the DuckDB oracle, so the exact side of the
+    comparison is cross-engine-pinned, not self-certified."""
+    from inxs_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(rest, qvec, 10).collect()
+    exact_ids = [r.vec_id for r in exact]
+    ann_ids = [
+        r.vec_id
+        for r in ann_topk(rest, qvec, k=10, n_planes=5).collect()
+    ]
+    ivf_ids = [
+        r.vec_id
+        for r in ivf_topk(rest, qvec, k=10, n_cells=16, nprobe=8).collect()
+    ]
+    rows = [
+        ("hyperplane_lsh", 10, len(ann_ids),
+         bool(len(set(ann_ids) & set(exact_ids)) >= 5),
+         exact[0].vec_id, float(exact[0].cos)),
+        ("ivf", 10, len(ivf_ids),
+         bool(len(set(ivf_ids) & set(exact_ids)) >= 5),
+         exact[0].vec_id, float(exact[0].cos)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "method string, k long, n_returned long, recall_ge_half boolean, "
+        "exact_top1_id long, exact_top1_cos double",
+    ).orderBy("method")
+
+
+def _curation_corpus() -> list[tuple[int, str]]:
+    """Deterministic planted corpus for the curation-funnel parity:
+    10 unique EN docs (0-9), exact dups (10-19), case/whitespace
+    variants that only NORMALIZED dedup collapses (20-24), 5 one-word-
+    changed near-dup pairs at 3-shingle J≈0.898 (30-39, disjoint
+    pairs), punctuation junk failing the quality gate (40-44), German
+    docs failing the langs=('en',) gate (45-49), and 10 more unique EN
+    docs (50-59). Funnel: 55 → 40 → 35 → 25 → quota 8."""
+    rows: list[tuple[int, str]] = []
+    bases = []
+    for i in range(10):
+        ws = [f"w{i}x{j}" for j in range(8)]
+        t = (f"the {ws[0]} and the {ws[1]} of {ws[2]} is in the {ws[3]} "
+             f"it was {ws[4]} that you {ws[5]} to the {ws[6]} and {ws[7]} it")
+        bases.append(t)
+        rows.append((i, t))
+    for i in range(10):
+        rows.append((10 + i, bases[i]))
+    for i in range(5):
+        rows.append((20 + i, bases[i].upper().replace(" ", "  ")))
+    for j in range(5):
+        ws = [f"n{j}v{k}" for k in range(52)]
+        core = ("the " + " ".join(ws[:26]) + " and it was that you "
+                + " ".join(ws[26:]))
+        rows.append((30 + 2 * j, core))
+        rows.append((31 + 2 * j, core.replace(f"n{j}v13", f"altered{j}")))
+    for j in range(5):
+        rows.append((40 + j, "!!! ??? *** ### %%% " + "@" * (j + 1)))
+    for j in range(5):
+        rows.append((45 + j,
+                     f"der schnelle fuchs g{j}a springt und die katze g{j}b "
+                     f"ist nicht mit dem hund g{j}c und das haus g{j}d ist "
+                     f"ein ort"))
+    for j in range(10):
+        ws = [f"u{j}q{k}" for k in range(8)]
+        rows.append((50 + j,
+                     f"you {ws[0]} the {ws[1]} and it is {ws[2]} of the "
+                     f"{ws[3]} that was {ws[4]} in {ws[5]} to {ws[6]} and "
+                     f"the {ws[7]}"))
+    return rows
+
+
+def q_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation funnel (normalize → exact dedup → MinHash
+    near-dup prune → quality/lang gate → per-lang quota) pinned to a
+    DuckDB oracle that re-derives every stage count with pure SQL on
+    the same planted corpus: normalized-md5 dedup, all-pairs 3-shingle
+    Jaccard ≥ 0.85 (the planted pairs are disjoint, so keep-min equals
+    component semantics), the exact quality/language formulas, and the
+    md5-ordered quota window. The Spark side runs the REAL curate()
+    job — LSH banding, connected components, persisted stage
+    boundaries — so the approximate path must land on the exact
+    funnel, which the planted J≈0.898 pairs guarantee
+    (P(candidate miss) ≈ 4e-8, deterministic hashes)."""
+    from inxs_spark.jobs.curate import CURATE_STAGES, curate
+
+    df = spark.createDataFrame(_curation_corpus(), "doc_id long, text string")
+    curated, stats = curate(
+        df, jaccard_threshold=0.85, min_quality=0.3,
+        langs=("en",), quota_per_lang=8,
+    )
+    curated.unpersist()
+    return spark.createDataFrame(
+        [tuple(int(stats[k]) for k in CURATE_STAGES)],
+        ", ".join(f"{k} long" for k in CURATE_STAGES),
+    )
+
+
+def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact error-bound gate (the 100 TB path for quantiles
+    and distinct counts is mergeable bounded-state sketches, not exact
+    shuffles): Greenwald-Khanna approx_percentile (accuracy 1000) per
+    order priority and HyperLogLog++ (rsd 2%) per event type must land
+    within 5% relative error of the exact values (measured ≤1.1% / 0%
+    at both sf tiers). The exact columns are recomputed independently
+    by DuckDB; the sketch side is pinned through the boolean."""
+    orders = _t(spark, sf_dir, "orders")
+    apx = F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 1000)")
+    ext = F.expr("percentile(o_totalprice, array(0.5D, 0.9D))")
+    pct = (
+        orders.groupBy("o_orderpriority")
+        .agg(apx.alias("a"), ext.alias("e"))
+        .select(
+            F.lit("gk_percentile").alias("sketch"),
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("e")[0], 2).alias("exact_lo"),
+            F.round(F.col("e")[1], 2).alias("exact_hi"),
+            (
+                (F.abs(F.col("a")[0] - F.col("e")[0]) / F.col("e")[0] <= 0.05)
+                & (F.abs(F.col("a")[1] - F.col("e")[1]) / F.col("e")[1] <= 0.05)
+            ).alias("within_bound"),
+        )
+    )
+    ev = _t(spark, sf_dir, "events")
+    hll = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F.countDistinct("user_id").alias("e"),
+        )
+        .select(
+            F.lit("hll_distinct").alias("sketch"),
+            F.col("event_type").alias("grp"),
+            F.col("e").cast("double").alias("exact_lo"),
+            F.col("e").cast("double").alias("exact_hi"),
+            (F.abs(F.col("a") - F.col("e")) / F.col("e") <= 0.05).alias(
+                "within_bound"
+            ),
+        )
+    )
+    return pct.unionByName(hll).orderBy("sketch", "grp")
+
+
+def q_compression_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal pinned by distributed-vs-
+    serial parity (no SQL zlib exists): the Arrow-batched pandas UDF
+    over the corpus must byte-match a driver-side serial zlib pass on
+    the same (bounded, deterministic) first-2000-docs slice; the
+    oracle pins doc count and zero mismatches."""
+    import zlib
+
+    from inxs_spark.operators.text import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(2000)
+    dist = compression_ratio(docs).select("doc_id", "n_chars", "zlib_ratio")
+    serial = []
+    for r in docs.select("doc_id", "text").collect():
+        t = r.text
+        if not t:
+            serial.append((r.doc_id, 0, None))
+            continue
+        raw = t.encode("utf-8")
+        serial.append(
+            (r.doc_id, len(t), round(len(zlib.compress(raw, 6)) / len(raw), 4))
+        )
+    exp = spark.createDataFrame(
+        serial, "doc_id long, e_chars long, e_ratio double"
+    )
+    joined = dist.join(exp, "doc_id", "full_outer")
+    mismatch = ~(
+        F.col("n_chars").eqNullSafe(F.col("e_chars"))
+        & F.col("zlib_ratio").eqNullSafe(F.col("e_ratio"))
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("long").alias(
+            "n_mismatches"
+        ),
+    )
+
+
+def q_binary_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-format plumbing parity in one oracle row: the PDF layout
+    parser (stdlib FlateDecode + text ops, mapInPandas) and the
+    multimodal feature extractor (stdlib PNG/WAV decode; labeled video
+    stub) must each byte-match a driver-side serial application of the
+    SAME inner functions over the same synthesized corpora — the
+    distributed plumbing (Arrow batching, schema, partitioning) is
+    what the gate isolates."""
+    from inxs_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        _audio_features,
+        _fake_decode,
+        extract_features,
+        synth_media,
+        _image_features,
+    )
+    from inxs_spark.operators.pdf import (
+        BLOCK_SCHEMA,
+        _mini_layout,
+        parse_layout,
+        synth_pdfs,
+    )
+
+    pdfs = synth_pdfs(spark, 64)
+    dist_blocks = parse_layout(pdfs).select(
+        "doc_id", "page", "block_idx", "kind", "x0", "y0", "x1", "y1",
+        "text", "failure",
+    )
+    serial_blocks: list[tuple] = []
+    for r in pdfs.collect():
+        serial_blocks.extend(_mini_layout(int(r.doc_id), bytes(r.payload)))
+    exp_blocks = spark.createDataFrame(serial_blocks, BLOCK_SCHEMA).select(
+        "doc_id", "page", "block_idx",
+        F.col("kind").alias("e_kind"), F.col("x0").alias("e_x0"),
+        F.col("y0").alias("e_y0"), F.col("x1").alias("e_x1"),
+        F.col("y1").alias("e_y1"), F.col("text").alias("e_text"),
+        F.col("failure").alias("e_failure"),
+    )
+    pj = dist_blocks.join(exp_blocks, ["doc_id", "page", "block_idx"],
+                          "full_outer")
+    pdf_mismatch = ~(
+        F.col("kind").eqNullSafe(F.col("e_kind"))
+        & F.col("x0").eqNullSafe(F.col("e_x0"))
+        & F.col("y0").eqNullSafe(F.col("e_y0"))
+        & F.col("x1").eqNullSafe(F.col("e_x1"))
+        & F.col("y1").eqNullSafe(F.col("e_y1"))
+        & F.col("text").eqNullSafe(F.col("e_text"))
+        & F.col("failure").eqNullSafe(F.col("e_failure"))
+    )
+    pdf_row = pj.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_pdf_docs"),
+        F.sum(F.when(pdf_mismatch, 1).otherwise(0)).cast("long").alias(
+            "n_pdf_mismatches"
+        ),
+    )
+
+    import hashlib
+
+    media = synth_media(spark, 256)
+    dist_feat = extract_features(media)
+    serial_feat = []
+    for r in media.collect():
+        payload = bytes(r.payload)
+        try:
+            if r.kind == "image":
+                feature, w2, h2 = _image_features(payload, (32, 32))
+                fk, tw, th, err = "real", w2, h2, None
+            elif r.kind == "audio":
+                feature, fk, tw, th, err = (
+                    _audio_features(payload), "real", None, None, None,
+                )
+            else:
+                feature, fk, tw, th, err = (
+                    _fake_decode(payload), "stub", None, None, None,
+                )
+        except Exception:
+            feature, fk, tw, th, err = None, "none", None, None, "decode_error"
+        serial_feat.append((
+            r.media_id, r.kind, len(payload),
+            hashlib.sha256(payload).hexdigest(), feature, fk, tw, th, err,
+        ))
+    exp_feat = spark.createDataFrame(serial_feat, FEATURE_SCHEMA).select(
+        "media_id",
+        F.col("n_bytes").alias("e_bytes"), F.col("sha").alias("e_sha"),
+        F.col("feature").alias("e_feature"),
+        F.col("feature_kind").alias("e_fk"),
+        F.col("thumb_w").alias("e_tw"), F.col("thumb_h").alias("e_th"),
+        F.col("failure").alias("e_failure"),
+    )
+    mj = dist_feat.join(exp_feat, "media_id", "full_outer")
+    m_mismatch = ~(
+        F.col("n_bytes").eqNullSafe(F.col("e_bytes"))
+        & F.col("sha").eqNullSafe(F.col("e_sha"))
+        & F.col("feature").eqNullSafe(F.col("e_feature"))
+        & F.col("feature_kind").eqNullSafe(F.col("e_fk"))
+        & F.col("thumb_w").eqNullSafe(F.col("e_tw"))
+        & F.col("thumb_h").eqNullSafe(F.col("e_th"))
+        & F.col("failure").eqNullSafe(F.col("e_failure"))
+    )
+    media_row = mj.agg(
+        F.count("*").cast("long").alias("n_media_items"),
+        F.sum(F.when(m_mismatch, 1).otherwise(0)).cast("long").alias(
+            "n_media_mismatches"
+        ),
+    )
+    return pdf_row.crossJoin(media_row)
+
+
+# ---------------------------------------------------------------------------
+# queries — not SQL-expressible (rows-only demo set, extra_queries())
 # ---------------------------------------------------------------------------
 
 def _hashable(df: DataFrame) -> DataFrame:
@@ -1366,6 +1830,16 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-contract registry: EXACTLY 50 entries, every one
+    with an oracle_sql() twin, because the driver records at most the
+    first 50 entries of this dict (CORRECTNESS_r03 was exactly the
+    first 50 keys in order — rows-only demos after position 50 were
+    silently invisible). The formerly rows-only paths are covered by
+    the round-4 gate queries (q_kernel_parity, q_minhash_dup_pairs,
+    q_simhash_parity, q_embedding_lsh_gate, q_ann_recall_gate,
+    q_curation_parity, q_sketch_bounds, q_compression_parity,
+    q_binary_parity); the raw-output demos remain runnable via
+    extra_queries()."""
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q_regional_revenue": q_regional_revenue,
@@ -1373,10 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_without_orders": q_customers_without_orders,
         "q_latest_order_per_customer": q_latest_order_per_customer,
         "q_events_hourly": q_events_hourly,
-        "q_token_counts": q_token_counts,
-        "q_quality_scores": q_quality_scores,
-        "q_language_id": q_language_id,
-        "q_fingerprints": q_fingerprints,
+        "q_doc_signals": q_doc_signals,
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_embedding_norms": q_embedding_norms,
@@ -1400,13 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_quota_sample": q_lang_quota_sample,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_pii_scrub": q_pii_scrub,
-        "q_repetition_ratio": q_repetition_ratio,
         "q_decontamination": q_decontamination,
-        "q_decontamination_normalized": q_decontamination_normalized,
-        "q_extract_parity": q_extract_parity,
-        "q_warc_parity": q_warc_parity,
-        "q_table_records_parity": q_table_records_parity,
-        "q_density_parity": q_density_parity,
+        "q_kernel_parity": q_kernel_parity,
         "q_dedup_clusters": q_dedup_clusters,
         "q_text_normalize": q_text_normalize,
         "q_boilerplate_lines": q_boilerplate_lines,
@@ -1417,6 +1883,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversation_prefix_groups": q_conversation_prefix_groups,
         "q_lm_perplexity": q_lm_perplexity,
         "q_containment_pairs": q_containment_pairs,
+        "q_minhash_dup_pairs": q_minhash_dup_pairs,
+        "q_simhash_parity": q_simhash_parity,
+        "q_embedding_lsh_gate": q_embedding_lsh_gate,
+        "q_ann_recall_gate": q_ann_recall_gate,
+        "q_curation_parity": q_curation_parity,
+        "q_sketch_bounds": q_sketch_bounds,
+        "q_compression_parity": q_compression_parity,
+        "q_binary_parity": q_binary_parity,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Raw-output demo queries (full extraction frames, approximate
+    pair sets, sketch values, per-item media features). Every
+    execution path here is correctness-pinned by an oracled gate in
+    queries() — these exist so a user can run the operators for their
+    OUTPUT rather than their verification, without spending one of
+    the driver's 50 recorded slots."""
+    return {
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -1436,6 +1921,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_distinct_users": x_approx_distinct_users,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
+        "x_token_counts": q_token_counts,
+        "x_quality_scores": q_quality_scores,
+        "x_language_id": q_language_id,
+        "x_fingerprints": q_fingerprints,
+        "x_repetition_ratio": q_repetition_ratio,
+        "x_decontamination_normalized": q_decontamination_normalized,
+        "x_extract_parity": q_extract_parity,
+        "x_warc_parity": q_warc_parity,
+        "x_table_records_parity": q_table_records_parity,
+        "x_density_parity": q_density_parity,
     }
 
 
@@ -1458,6 +1953,99 @@ _EN = "'the','and','of','to','is','in','it','you','that','was'"
 _DE = "'der','die','und','das','ist','nicht','ein','ich','mit','sie'"
 _FR = "'le','la','et','les','des','est','une','dans','que','pour'"
 _ES = "'el','la','que','de','los','se','las','por','un','para'"
+
+
+def _curation_parity_oracle() -> str:
+    """DuckDB re-derivation of the curate() funnel on the planted
+    corpus (shared with the Spark side via _curation_corpus()): pure
+    SQL for every stage — normalized-md5 exact dedup (keep min id),
+    all-pairs 3-shingle Jaccard ≥ 0.85 near-dup prune (the planted
+    pairs are DISJOINT, so dropping each pair's higher id equals the
+    connected-component keep-min), the exact quality/language-ID
+    formulas, and the md5-ordered per-language quota window."""
+    values = ",\n                ".join(
+        f"({i}, '{t}')" for i, t in _curation_corpus()
+    )
+    return rf"""
+            WITH corpus(doc_id, text) AS (VALUES
+                {values}
+            ),
+            nrm AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(lower(nfc_normalize(text)),
+                            '[ \t\n\r\f]+', ' ', 'g')) AS ntext
+                FROM corpus
+            ),
+            s1 AS (
+                SELECT doc_id, text, ntext FROM (
+                    SELECT doc_id, text, ntext,
+                           row_number() OVER (PARTITION BY ntext
+                                              ORDER BY doc_id) AS rn
+                    FROM nrm
+                ) WHERE rn = 1
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(ntext, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(ntext, ' '), i, i + 2), ' ')
+                       )) AS grams
+                FROM s1
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams))
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))) >= 0.85
+            ),
+            s2 AS (
+                SELECT * FROM s1
+                WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+            ),
+            feat AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(string_split(text, ' ')) AS n_toks,
+                       length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_EN}))) AS en,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_DE}))) AS de,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_FR}))) AS fr,
+                       len(list_filter(string_split(text, ' '), x -> x IN ({_ES}))) AS es
+                FROM s2
+            ),
+            gate AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                            WHEN en = greatest(en, de, fr, es) THEN 'en'
+                            WHEN de = greatest(en, de, fr, es) THEN 'de'
+                            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred,
+                       round(0.5 * least(n_toks / 100.0, 1.0)
+                           + 0.3 * least(en / greatest(n_toks, 1) * 5, 1.0)
+                           + 0.2 * (1 - least(n_punct / greatest(n_chars, 1) * 4, 1.0)), 4)
+                           AS quality
+                FROM feat
+            ),
+            s3 AS (
+                SELECT doc_id, lang_pred FROM gate
+                WHERE quality >= 0.3 AND lang_pred IN ('en')
+            ),
+            s4 AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY lang_pred
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM s3
+                ) WHERE rn <= 8
+            )
+            SELECT (SELECT count(*) FROM corpus) AS "input",
+                   (SELECT count(*) FROM s1) AS after_exact_dedup,
+                   (SELECT count(*) FROM s2) AS after_near_dup_prune,
+                   (SELECT count(*) FROM s3) AS after_quality_lang_gate,
+                   (SELECT count(*) FROM s4) AS "output"
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1514,55 +2102,72 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        "q_token_counts": r"""
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
-                                   x -> x != '')) AS n_bpe_tokens
-            FROM documents ORDER BY doc_id
-        """,
-        "q_quality_scores": rf"""
-            WITH f AS (
+        "q_doc_signals": rf"""
+            WITH tok AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+                                       x -> x != '')) AS n_bpe_tokens
+                FROM documents
+            ), f AS (
                 SELECT doc_id,
                        length(text) AS n_chars,
-                       len(string_split(text, ' ')) AS n_tokens,
+                       len(string_split(text, ' ')) AS n_toks,
                        length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
                        len(list_filter(string_split(text, ' '),
                                        x -> x IN ({_EN}))) AS stop_hits
                 FROM documents
-            )
-            SELECT doc_id, n_chars, n_tokens,
-                   round((n_chars - (n_tokens - 1)) / n_tokens, 3) AS mean_token_len,
-                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
-                   round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
-                   round(0.5 * least(n_tokens / 100.0, 1.0)
-                       + 0.3 * least(stop_hits / greatest(n_tokens, 1) * 5, 1.0)
-                       + 0.2 * (1 - least(n_punct / greatest(n_chars, 1) * 4, 1.0)), 4)
-                       AS quality
-            FROM f ORDER BY doc_id
-        """,
-        "q_language_id": f"""
-            WITH h AS (
+            ), q AS (
+                SELECT doc_id, n_chars,
+                       round((n_chars - (n_toks - 1)) / n_toks, 3) AS mean_token_len,
+                       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                       round(stop_hits / greatest(n_toks, 1), 4) AS stopword_ratio,
+                       round(0.5 * least(n_toks / 100.0, 1.0)
+                           + 0.3 * least(stop_hits / greatest(n_toks, 1) * 5, 1.0)
+                           + 0.2 * (1 - least(n_punct / greatest(n_chars, 1) * 4, 1.0)), 4)
+                           AS quality
+                FROM f
+            ), h AS (
                 SELECT doc_id,
                        len(list_filter(string_split(text, ' '), x -> x IN ({_EN}))) AS en,
                        len(list_filter(string_split(text, ' '), x -> x IN ({_DE}))) AS de,
                        len(list_filter(string_split(text, ' '), x -> x IN ({_FR}))) AS fr,
                        len(list_filter(string_split(text, ' '), x -> x IN ({_ES}))) AS es
                 FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                            WHEN en = greatest(en, de, fr, es) THEN 'en'
+                            WHEN de = greatest(en, de, fr, es) THEN 'de'
+                            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred,
+                       greatest(en, de, fr, es) AS stopword_hits
+                FROM h
+            ), fp AS (
+                SELECT doc_id, md5(text) AS fp_md5,
+                       length(text)::varchar || ':' || substring(text, 1, 16) AS fp_block
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 2), ' ')
+                       ) AS grams
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       len(grams) AS n_grams,
+                       len(list_distinct(grams)) AS n_distinct_grams,
+                       round(1 - len(list_distinct(grams)) / len(grams), 4) AS rep_ratio
+                FROM g
             )
-            SELECT doc_id,
-                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
-                        WHEN en = greatest(en, de, fr, es) THEN 'en'
-                        WHEN de = greatest(en, de, fr, es) THEN 'de'
-                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-                        ELSE 'es' END AS lang_pred,
-                   greatest(en, de, fr, es) AS stopword_hits
-            FROM h ORDER BY doc_id
-        """,
-        "q_fingerprints": """
-            SELECT doc_id, md5(text) AS fp_md5,
-                   length(text)::varchar || ':' || substring(text, 1, 16) AS fp_block
-            FROM documents ORDER BY doc_id
+            SELECT tok.doc_id, n_tokens, n_bpe_tokens, n_chars, mean_token_len,
+                   punct_ratio, stopword_ratio, quality, lang_pred, stopword_hits,
+                   fp_md5, fp_block, n_grams, n_distinct_grams, rep_ratio
+            FROM tok JOIN q USING (doc_id) JOIN l USING (doc_id)
+                     JOIN fp USING (doc_id) JOIN r USING (doc_id)
+            ORDER BY doc_id
         """,
         "q_exact_dup_groups": """
             SELECT md5(text) AS fp_md5, count(*) AS n_dups, min(doc_id) AS keep_id
@@ -2128,57 +2733,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
         """,
-        "q_extract_parity": """
-            -- the oracle pins the plain-vs-deduped extraction pipeline
-            -- divergence count to zero (the Spark side computes it over
-            -- the transcripts; any plan/kernel divergence hash-fails)
-            SELECT CAST(0 AS BIGINT) AS n_mismatches
-        """,
-        "q_warc_parity": """
-            -- pins WARC→Spark-extraction vs serial-kernel divergence
-            -- (per-page text/spans/failure equality) to zero
-            SELECT CAST(0 AS BIGINT) AS n_mismatches
-        """,
-        "q_table_records_parity": """
-            -- pins transform_df (generic transformation runner) vs
-            -- serial-kernel divergence to zero
-            SELECT CAST(0 AS BIGINT) AS n_mismatches
-        """,
-        "q_density_parity": """
-            -- pins the DOM-heuristic density extractor (Spark plan)
-            -- vs its serial application to zero divergence
-            SELECT CAST(0 AS BIGINT) AS n_mismatches
-        """,
-        "q_decontamination_normalized": """
-            WITH nd AS (
-                SELECT doc_id,
-                       trim(regexp_replace(lower(nfc_normalize(text)),
-                            '[ \t\n\r\f]+', ' ', 'g')) AS text
-                FROM documents
-            ), g AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
-                           i -> array_to_string(
-                               list_slice(string_split(text, ' '), i, i + 4), ' ')
-                       )) AS grams
-                FROM nd
-            ),
-            -- eval side: the Spark query disguises it with upper() +
-            -- doubled spaces, both of which normalization erases
-            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
-            hits AS (
-                SELECT doc_id, count(DISTINCT t.gram) AS n_hits
-                FROM (SELECT doc_id, unnest(grams) AS gram FROM g
-                      WHERE doc_id >= 20) t
-                JOIN ev USING (gram) GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(h.n_hits, 0) AS n_hits,
-                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
-            FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
-            LEFT JOIN hits h USING (doc_id)
-            ORDER BY d.doc_id
+        "q_kernel_parity": """
+            -- pins ALL FOUR non-SQL execution paths to zero divergence
+            -- in one row: plain-vs-deduped extraction pipelines, WARC
+            -- source vs serial kernel, generic transformation runner
+            -- vs serial kernel, density heuristic vs serial
+            SELECT CAST(0 AS BIGINT) AS n_extract_mismatches,
+                   CAST(0 AS BIGINT) AS n_warc_mismatches,
+                   CAST(0 AS BIGINT) AS n_table_records_mismatches,
+                   CAST(0 AS BIGINT) AS n_density_mismatches
         """,
         "q_pii_scrub": r"""
             WITH aug AS (
@@ -2199,22 +2762,6 @@ def oracle_sql() -> dict[str, str]:
                        '[0-9]{7,}', '<NUM>', 'g')) AS scrub_md5
             FROM aug ORDER BY doc_id
         """,
-        "q_repetition_ratio": """
-            WITH g AS (
-                SELECT doc_id,
-                       list_transform(
-                           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-                           i -> array_to_string(
-                               list_slice(string_split(text, ' '), i, i + 2), ' ')
-                       ) AS grams
-                FROM documents
-            )
-            SELECT doc_id,
-                   len(grams) AS n_grams,
-                   len(list_distinct(grams)) AS n_distinct_grams,
-                   round(1 - len(list_distinct(grams)) / len(grams), 4) AS rep_ratio
-            FROM g ORDER BY doc_id
-        """,
         "q_decontamination": """
             WITH g AS (
                 SELECT doc_id,
@@ -2231,12 +2778,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest(grams) AS gram FROM g
                       WHERE doc_id >= 20) t
                 JOIN ev USING (gram) GROUP BY doc_id
+            ),
+            -- normalized variant: NFC + casefold + whitespace collapse
+            -- on both sides; the eval side's disguise (upper + doubled
+            -- spaces) is erased by the same normalization
+            nd AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(nfc_normalize(text)),
+                            '[ \t\n\r\f]+', ' ', 'g')) AS text
+                FROM documents
+            ), gn AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 4), ' ')
+                       )) AS grams
+                FROM nd
+            ),
+            evn AS (SELECT DISTINCT unnest(grams) AS gram FROM gn WHERE doc_id < 20),
+            hitsn AS (
+                SELECT doc_id, count(DISTINCT t.gram) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM gn
+                      WHERE doc_id >= 20) t
+                JOIN evn USING (gram) GROUP BY doc_id
             )
             SELECT d.doc_id,
                    coalesce(h.n_hits, 0) AS n_hits,
-                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated,
+                   coalesce(hn.n_hits, 0) AS n_hits_norm,
+                   CAST(coalesce(hn.n_hits, 0) > 0 AS BIGINT) AS contaminated_norm
             FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
             LEFT JOIN hits h USING (doc_id)
+            LEFT JOIN hitsn hn USING (doc_id)
             ORDER BY d.doc_id
         """,
         "q_cosine_topk": """
@@ -2256,4 +2830,116 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "q_minhash_dup_pairs": """
+            -- EXACT all-pairs 3-word-shingle Jaccard >= 0.5: equals the
+            -- Spark MinHash+LSH+verify output because candidate recall
+            -- at r=2/32 bands is ~1-1e-4 and the verify stage is exact
+            WITH g AS (
+                SELECT doc_id AS id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 2), ' ')
+                       )) AS grams
+                FROM documents
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+            FROM g a JOIN g b ON a.id < b.id
+            WHERE len(list_intersect(a.grams, b.grams))
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "q_simhash_parity": """
+            -- pins Manku combined-block SimHash blocking to ZERO missed
+            -- pairs vs a brute-force popcount over the same signatures
+            SELECT count(*) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_pair_mismatches
+            FROM documents
+        """,
+        "q_embedding_lsh_gate": """
+            -- exact pair count recomputed quadratically in SQL; the LSH
+            -- scale path must emit a subset (0 false positives) with
+            -- recall >= 1/4 on this near-uniform corpus
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                               i -> a.v[i] * b.v[i]))
+                      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45
+            )
+            SELECT (SELECT count(*) FROM p) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_false_positives,
+                   TRUE AS recall_ge_quarter
+        """,
+        "q_ann_recall_gate": """
+            -- the exact top-1 id/cosine is recomputed in SQL; per-method
+            -- full-k return and recall >= 0.5 are the pinned contract
+            WITH q AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+                SELECT vec_id,
+                       round(
+                         list_sum(list_transform(range(1, len(e.de) + 1),
+                                  i -> e.de[i] * q.qe[i]))
+                         / (sqrt(list_sum(list_transform(e.de, x -> x * x)))
+                          * sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 4) AS cos
+                FROM (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                      FROM embeddings WHERE vec_id != 0) e, q
+            ), t AS (
+                SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 1
+            )
+            SELECT m.method, CAST(10 AS BIGINT) AS k,
+                   CAST(10 AS BIGINT) AS n_returned,
+                   TRUE AS recall_ge_half,
+                   t.vec_id AS exact_top1_id, t.cos AS exact_top1_cos
+            FROM (SELECT 'hyperplane_lsh' AS method
+                  UNION ALL SELECT 'ivf') m, t
+            ORDER BY m.method
+        """,
+        "q_sketch_bounds": """
+            -- exact quantiles / distinct counts recomputed in SQL; the
+            -- Spark sketches (GK accuracy 1000, HLL rsd 2%) must land
+            -- within 5% relative error (the pinned booleans)
+            SELECT 'gk_percentile' AS sketch, o_orderpriority AS grp,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS exact_lo,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS exact_hi,
+                   TRUE AS within_bound
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'hll_distinct', event_type,
+                   CAST(count(DISTINCT user_id) AS DOUBLE),
+                   CAST(count(DISTINCT user_id) AS DOUBLE),
+                   TRUE
+            FROM events GROUP BY event_type
+            ORDER BY sketch, grp
+        """,
+        "q_compression_parity": """
+            -- distributed Arrow-batched zlib vs serial zlib on the same
+            -- bounded slice: doc count from SQL, zero mismatches pinned
+            SELECT CAST(least(count(*), 2000) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_mismatches
+            FROM documents
+        """,
+        "q_binary_parity": """
+            -- PDF layout parse + media feature extraction: distributed
+            -- mapInPandas vs serial application of the same inner
+            -- functions over the same synthesized corpora (64 PDFs,
+            -- 256 media items — the query's own constants)
+            SELECT CAST(64 AS BIGINT) AS n_pdf_docs,
+                   CAST(0 AS BIGINT) AS n_pdf_mismatches,
+                   CAST(256 AS BIGINT) AS n_media_items,
+                   CAST(0 AS BIGINT) AS n_media_mismatches
+        """,
+        "q_curation_parity": _curation_parity_oracle(),
     }

@@ -126,7 +126,7 @@ def main() -> None:
     results["ex_extract"] = wall
     extra[f"extract_local{CPUS}_turns_per_s"] = round(n_turns / wall, 1)
 
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     suite = [
         ("q1_pricing_summary", "q1_pricing_summary"),
         ("q_regional_revenue", "q_regional_revenue"),

@@ -705,7 +705,7 @@ class TestDedup:
         relative error on the real events table."""
         import __spark_entry__ as E
 
-        rows = E.queries()["x_approx_distinct_users"](
+        rows = E.extra_queries()["x_approx_distinct_users"](
             spark, "/root/testdata/sf0.01"
         ).collect()
         assert rows
@@ -715,7 +715,7 @@ class TestDedup:
     def test_approx_percentile_error_bound(self, spark):
         import __spark_entry__ as E
 
-        rows = E.queries()["x_approx_percentiles"](
+        rows = E.extra_queries()["x_approx_percentiles"](
             spark, "/root/testdata/sf0.01"
         ).collect()
         assert rows

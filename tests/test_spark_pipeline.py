@@ -302,8 +302,8 @@ def test_contract_deduped_equals_plain(spark, tiny_transcripts):
 
     sf = "/root/testdata/sf0.001"
     key = lambda r: (r.conv_id, r.turn_idx)
-    a = {key(r): r.extracted_text for r in E.queries()["x_extract_transcripts"](spark, sf).collect()}
-    b = {key(r): r.extracted_text for r in E.queries()["x_extract_deduped"](spark, sf).collect()}
+    a = {key(r): r.extracted_text for r in E.extra_queries()["x_extract_transcripts"](spark, sf).collect()}
+    b = {key(r): r.extracted_text for r in E.extra_queries()["x_extract_deduped"](spark, sf).collect()}
     assert a == b
 
 
