@@ -19,10 +19,18 @@ levels): extraction runs at local[4] and local[16] (N=4, 4N=16 — both
 within physical cores; the 8→32 pair crosses the SMT boundary where
 even raw multiprocessing only reaches ~0.73). This box also has
 co-tenant load with >2x run-to-run variance, so each level runs
-SPARK_GRAFT_SCALE_REPS warm reps and the per-level MINIMUM is used.
-A raw Python-multiprocessing probe of the same kernel provides the
-box's own scaling ceiling for context. Skip with SPARK_GRAFT_SCALING=0.
-Results are appended to BENCH.md.
+SPARK_GRAFT_SCALE_REPS (3) interleaved warm reps, each behind a
+BOUNDED loadavg precondition (wait up to SPARK_GRAFT_SCALE_LOAD_WAIT_S
+for 1-min load < SPARK_GRAFT_SCALE_LOAD_GATE), and the per-level
+MINIMUM is used; per-rep loadavg + wait are recorded next to the
+walls so a loaded reading is auditable inline. A raw Python-
+multiprocessing probe of the same kernel provides the box's own
+scaling ceiling for context. Skip with SPARK_GRAFT_SCALING=0.
+
+Two operator-stress rows (line-boilerplate removal, containment
+pairs — round-3 sf0.01-only evidence) run at the same sf0.1 tier and
+report under operator_stress_walls_s, OUTSIDE the headline total so
+`value` stays comparable across rounds. Results append to BENCH.md.
 """
 
 from __future__ import annotations
@@ -38,7 +46,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+# loadavg precondition for scaling reps (round-3 verdict task 5): the
+# box carries co-tenant load with >2x run-to-run variance, and the
+# driver-visible scaling number landed in loaded windows two rounds
+# running while clean-window captures cleared the bar. Before each
+# timed rep we wait (bounded) for the 1-min loadavg to fall below the
+# gate; per-rep loadavg + wait are recorded next to the walls so a
+# loaded reading is visible inline rather than explained after the
+# fact. Gate=6 ≈ the level where the round-3 ablations showed walls
+# inflating; max wait keeps the whole bench bounded.
+SCALE_LOAD_GATE = float(os.environ.get("SPARK_GRAFT_SCALE_LOAD_GATE", "6.0"))
+SCALE_LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_SCALE_LOAD_WAIT_S", "90"))
+
+
+def wait_for_quiet(gate: float, max_wait_s: int) -> tuple[float, float]:
+    """Block until 1-min loadavg < gate or max_wait_s elapses; returns
+    (seconds_waited, loadavg_when_released)."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= gate and time.monotonic() - t0 < max_wait_s:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return round(time.monotonic() - t0, 1), round(load, 2)
 # per-query warm reps for the headline suite: the box has documented
 # >2x co-tenant variance (BENCH_r02 recorded a 75% dd_minhash
 # "regression" that a quiet-box A/B showed was load noise) — min-of-N
@@ -134,6 +164,17 @@ def main() -> None:
         ("x_minhash_dup_pairs", "dd_minhash"),
         ("q_cosine_topk", "sim_cosine_topk"),
     ]
+    # bench-tier stress rows for the round-3 sf0.01-only operators
+    # (verdict task 9): timed at sf0.1 with the same interleaved
+    # min-of-reps, but reported OUTSIDE the headline total so `value`
+    # stays comparable across rounds/baseline (plan shape — digests-
+    # only exchanges — is pytest-asserted in TestPlanShape)
+    stress = [
+        ("q_boilerplate_lines", "tx_boilerplate"),
+        ("q_containment_pairs", "tx_containment"),
+    ]
+    suite = suite + stress
+    stress_keys = {key for _n, key in stress}
     # warm pass at the tiny tier: spins up pandas-UDF python workers /
     # codegen so the timed numbers measure the queries, not JVM/worker
     # cold start (extraction got its warm-up above)
@@ -154,7 +195,12 @@ def main() -> None:
             qs[name](boot, SF_DIR).write.format("noop").mode("overwrite").save()
             rep_walls[key].append(round(time.monotonic() - t0, 3))
     for _name, key in suite:
-        results[key] = min(rep_walls[key])
+        if key in stress_keys:
+            extra.setdefault("operator_stress_walls_s", {})[key] = min(
+                rep_walls[key]
+            )
+        else:
+            results[key] = min(rep_walls[key])
     rep_walls["ex_extract"] = ex_walls
     extra["query_rep_walls_s"] = rep_walls
     extra["query_reps"] = QUERY_REPS
@@ -177,8 +223,16 @@ def main() -> None:
         boot2.stop()
         n_low, n_high = SCALE_N, SCALE_N * 4
         walls: dict[int, list[float]] = {n_low: [], n_high: []}
+        rep_load: dict[int, list[float]] = {n_low: [], n_high: []}
+        rep_waited: dict[int, list[float]] = {n_low: [], n_high: []}
         for _rep in range(SCALE_REPS):
             for cores in (n_low, n_high):
+                # loadavg precondition (bounded): don't start a timed
+                # rep into a co-tenant spike; record what we saw either
+                # way so the reading is auditable inline
+                waited, load = wait_for_quiet(SCALE_LOAD_GATE, SCALE_LOAD_WAIT_S)
+                rep_waited[cores].append(waited)
+                rep_load[cores].append(load)
                 spark = build_session(cores)
                 from pyspark.sql import functions as F
 
@@ -200,6 +254,9 @@ def main() -> None:
             f"local{n_high}_turns_per_s": round(s_turns / t_high, 1),
             "efficiency": round(eff, 3),
             "all_walls_s": {str(k): [round(x, 2) for x in v] for k, v in walls.items()},
+            "rep_loadavg_1m": {str(k): v for k, v in rep_load.items()},
+            "rep_quiet_wait_s": {str(k): v for k, v in rep_waited.items()},
+            "load_gate": SCALE_LOAD_GATE,
         }
         ceiling = raw_ceiling(n_low, n_high)
         extra["scaling"]["box_ceiling_efficiency_raw_multiproc"] = ceiling["efficiency"]

@@ -397,6 +397,88 @@ def test_every_contract_query_analyzes(spark):
     assert set(oracles) <= set(E.queries())
 
 
+def test_contract_registry_within_driver_cap(spark):
+    """The driver records at most the FIRST 50 queries() entries
+    (CORRECTNESS_r03 was exactly the first 50 registry keys), so the
+    contract registry must stay at ≤50 entries and EVERY entry must
+    carry an oracle — otherwise a query silently loses its driver
+    evidence. Demo/raw-output queries belong in extra_queries()."""
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert len(qs) <= 50, (
+        f"{len(qs)} contract queries — the driver only records the "
+        "first 50; move demos to extra_queries()"
+    )
+    assert set(qs) == set(oracles), (
+        set(qs) ^ set(oracles)
+    )
+
+
+def _exchange_outputs(df):
+    """Attribute names carried by every (shuffle/broadcast) Exchange in
+    the FINAL executed plan (AQE-resolved, so run an action first)."""
+    df.write.format("noop").mode("overwrite").save()
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "Exchange" in name:
+            attrs = [
+                node.output().apply(i).name()
+                for i in range(node.output().size())
+            ]
+            out.append((name, attrs))
+        n = node.children().size()
+        for i in range(n):
+            walk(node.children().apply(i))
+        # AQE wrapper nodes hide their child plan behind specific
+        # accessors rather than children()
+        for getter in ("executedPlan", "finalPhysicalPlan"):
+            if hasattr(node, getter):
+                try:
+                    walk(getattr(node, getter)())
+                except Exception:
+                    pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_containment_exchanges_are_digest_only(spark):
+    """containment_pairs at any tier must shuffle DIGESTS, never window
+    or document text: no Exchange in the executed plan carries a text/
+    token column (round-3 verdict task 9 plan assert)."""
+    from inxs_spark.operators.text import containment_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = _exchange_outputs(containment_pairs(docs))
+    assert ex, "expected at least one exchange"
+    forbidden = {"text", "line", "__t", "__toks"}
+    for name, attrs in ex:
+        assert not (forbidden & set(attrs)), (name, attrs)
+
+
+def test_boilerplate_exchanges_never_carry_documents(spark):
+    """remove_boilerplate_lines: the frequency/anti-join side shuffles
+    16-byte line digests only, and NO exchange ever carries the full
+    document text column — the single allowed text-bearing exchange is
+    the per-document reassembly groupBy, which moves individual
+    SURVIVING lines (the documented shape)."""
+    from inxs_spark.operators.text import remove_boilerplate_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = _exchange_outputs(remove_boilerplate_lines(docs, min_docs=5))
+    assert ex, "expected at least one exchange"
+    for name, attrs in ex:
+        assert "text" not in attrs, (name, attrs)
+    digest_ex = [
+        attrs for _n, attrs in ex
+        if "line_md5" in attrs or any(a.startswith("n_docs") for a in attrs)
+    ]
+    assert any("line" not in attrs for attrs in digest_ex), ex
+
+
 def test_custom_transformation_through_pipeline(spark, tiny_transcripts):
     """User rule-sets (not the fused preset) must run inside the Arrow
     UDF — including a transformation whose compiled-invoker caches are
