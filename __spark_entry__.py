@@ -1135,19 +1135,23 @@ def q_kernel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with a REAL cross-engine oracle:
-    at r=2 rows/band (num_perm=64, bands=32) candidate recall at
-    J≥0.5 is 1−(1−J²)^32 ≥ 0.9999, and the exact-Jaccard verify
-    stage makes the surviving pairs EQUAL the DuckDB all-pairs
-    3-word-shingle Jaccard ≥ 0.5 set (verified equal at sf0.001 and
-    sf0.01). The scale path (banding, window-capped hot buckets,
-    digests-only shuffles) is exactly what runs at 100 TB — only the
-    oracle side is quadratic."""
+    at r=2 rows/band with 64 bands (num_perm=128) the worst-case
+    per-pair candidate-miss probability at the J=0.5 boundary is
+    (1−0.5²)^64 ≈ 1e-8 — chosen deliberately deep so the gate stays
+    an equality even if a future testdata regeneration plants a
+    borderline pair (the approximation-vs-equality risk a round-4
+    review flagged) — and the exact-Jaccard verify stage makes the
+    surviving pairs EQUAL the DuckDB all-pairs 3-word-shingle
+    Jaccard ≥ 0.5 set (verified equal at sf0.001 and sf0.01). The
+    scale path (banding, window-capped hot buckets, digests-only
+    shuffles) is exactly what runs at 100 TB — only the oracle side
+    is quadratic."""
     from inxs_spark.operators.dedup import minhash_dedup_pairs
 
     return (
         minhash_dedup_pairs(
             _t(spark, sf_dir, "documents"), threshold=0.5,
-            num_perm=64, bands=32,
+            num_perm=128, bands=64,
         )
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -1202,14 +1206,27 @@ def q_embedding_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     lsh = pairwise_ann_candidates(emb, dim=dim, min_cos=0.45).select(
-        "id_a", "id_b"
+        "id_a", "id_b", F.lit(1).alias("l")
     )
-    exact = q_embedding_near_dup_exact(spark, sf_dir).select("id_a", "id_b")
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_fp = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
+    exact = q_embedding_near_dup_exact(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("e")
+    )
+    # ONE action over an indicator full-outer join: three separate
+    # counts would re-execute the quadratic exact self-join and the
+    # LSH pipeline each time (round-4 review finding)
+    agg = (
+        exact.join(lsh, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce(
+                F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_fp"),
+            F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("n_lsh"),
+        )
+        .first()
+    )
     return spark.createDataFrame(
-        [(n_exact, n_fp, bool(4 * n_lsh >= n_exact))],
+        [(agg.n_exact, agg.n_fp, bool(4 * agg.n_lsh >= agg.n_exact))],
         "n_exact_pairs long, n_false_positives long, recall_ge_quarter boolean",
     )
 
@@ -2832,8 +2849,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_dup_pairs": """
             -- EXACT all-pairs 3-word-shingle Jaccard >= 0.5: equals the
-            -- Spark MinHash+LSH+verify output because candidate recall
-            -- at r=2/32 bands is ~1-1e-4 and the verify stage is exact
+            -- Spark MinHash+LSH+verify output because candidate-miss
+            -- probability at r=2/64 bands is ~1e-8 even at the J=0.5
+            -- boundary and the verify stage is exact
             WITH g AS (
                 SELECT doc_id AS id,
                        list_distinct(list_transform(

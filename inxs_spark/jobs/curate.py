@@ -125,8 +125,14 @@ def curate(
 
     # stage 0: the ONLY input scan — everything downstream reads this
     # cache (exact_dedup alone consumes it twice: digest groups + join
-    # back)
-    c0 = df.persist(lvl)
+    # back). If the CALLER already persisted this exact frame
+    # (normalize=False passes it through unchanged), do NOT
+    # persist/unpersist it here: our unpersist would silently evict
+    # the caller's cache entry (round-4 review finding)
+    caller_cached = (
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+    )
+    c0 = df if caller_cached else df.persist(lvl)
     stats["input"] = c0.count()
     walls["input"] = time.monotonic() - t0
 
@@ -134,7 +140,8 @@ def curate(
     deduped = exact_dedup(c0, id_col, dd_col).persist(lvl)
     stats["after_exact_dedup"] = deduped.count()
     walls["after_exact_dedup"] = time.monotonic() - t
-    c0.unpersist()
+    if not caller_cached:
+        c0.unpersist()
 
     t = time.monotonic()
     pairs = minhash_dedup_pairs(
@@ -209,13 +216,21 @@ def write_curate_metrics(
     walls: dict | None = None,
     run_id: str = "local",
     op: str = "curate",
+    compact: bool = True,
 ) -> None:
     """Persist per-stage attrition lineage: one JSON line per stage
     under ``<metrics_out>/metrics/`` (append-only, atomic rename —
-    same contract as the extraction runner's per-partition records)
-    and the compacted ``<metrics_out>/metrics_table`` parquet, so a
-    production curation run's funnel is queryable next to the
-    extraction lineage instead of living only in a returned dict."""
+    same contract as the extraction runner's per-partition records;
+    like the runner, a DRIVER-LOCAL directory standing in for the
+    metrics Iceberg table append of the production design) and, when
+    ``compact=True``, the compacted ``<metrics_out>/metrics_table``
+    parquet — so a production curation run's funnel is queryable next
+    to the extraction lineage instead of living only in a returned
+    dict. Per-record callers on a long stream should pass
+    ``compact=False`` (appending is O(1) per call) and compact once
+    at the end via :func:`compact_curate_metrics` — recompacting
+    every call would re-read every prior record, O(N²) over a
+    stream's lifetime (round-4 review finding)."""
     walls = walls or {}
     stages = [s for s in CURATE_STAGES if s in stats]
     rows = []
@@ -239,11 +254,24 @@ def write_curate_metrics(
         for r in rows:
             fh.write(json.dumps(r) + "\n")
     os.replace(tmp, os.path.join(mdir, f"{op}_{run_id}.json"))
+    if compact:
+        compact_curate_metrics(spark, metrics_out)
+
+
+def compact_curate_metrics(spark: SparkSession, metrics_out: str) -> None:
+    """Fold every per-run/per-batch metrics JSON into the queryable
+    ``metrics_table`` parquet (one pass over all records — call once
+    per run / at stream shutdown, not per microbatch)."""
+    mdir = os.path.join(metrics_out, "metrics")
+    if not os.path.isdir(mdir):
+        return
     paths = [
         os.path.join(mdir, n)
         for n in sorted(os.listdir(mdir))
         if n.endswith(".json")
     ]
+    if not paths:
+        return
     spark.read.schema(CURATE_METRICS_SCHEMA).json(paths).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(metrics_out, "metrics_table"))

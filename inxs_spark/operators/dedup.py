@@ -152,28 +152,22 @@ def bounded_count(df: DataFrame, saturation: int) -> int:
     or above it (every n ≥ saturation maps to the same derived value
     anyway).
 
-    Cost profile (round-3 advice fix): ``limit(n).count()`` plans as
-    LocalLimit → Exchange SinglePartition → GlobalLimit — every
-    upstream partition computes fully and all locally-capped rows
-    funnel through ONE reduce task, so the old implementation could be
-    SLOWER than the parallel full count it replaced. This version sums
-    per-partition counts that each stop consuming their iterator at
-    ``saturation`` rows: fully parallel, no single-partition exchange,
-    and per-TASK work is bounded at ``saturation`` rows. Total work is
-    therefore ≤ saturation × n_partitions rows (NOT ≤ saturation
-    globally — early cross-partition termination would need the very
-    driver round-trips this avoids); callers with a metadata row-count
-    hint (``n_rows=``) should always prefer it and skip the probe."""
-    def _cap(it):
-        c = 0
-        for _ in it:
-            c += 1
-            if c >= saturation:
-                break
-        yield c
-
-    total = df.select(F.lit(1).alias("one")).rdd.mapPartitions(_cap).sum()
-    return min(int(total), saturation)
+    Cost profile, honestly (round-3 advice + round-4 review): a
+    DISTRIBUTED JVM ``count()`` clamped on the driver. The previously
+    shipped alternatives both lose: ``limit(n).count()`` plans as
+    LocalLimit → Exchange SinglePartition → GlobalLimit (every
+    upstream partition computes fully, all capped rows funnel through
+    ONE reduce task), and a Python ``mapPartitions`` early-exit
+    serializes every probed row JVM→Python (~1M rows/s/core vs >100M
+    for a JVM zero-column count — the per-task bound never pays for a
+    100× slower row loop). The plain count is fully parallel, stays
+    in whole-stage codegen over a zero-column projection, and on an
+    unfiltered parquet scan is answered from file row-group metadata.
+    The probe IS a full pass on derived frames — that is inherent to
+    counting without an index; callers with a row-count hint
+    (``n_rows=`` / table metadata) should always pass it and skip the
+    probe entirely."""
+    return min(df.count(), saturation)
 
 
 def minhash_lsh_candidates(
@@ -200,10 +194,10 @@ def minhash_lsh_candidates(
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
     if max_bucket is None:
-        # derive_max_bucket's hi clamp saturates at hi² rows, so a
-        # probe saturating at hi² yields the IDENTICAL parameter as a
-        # full count while bounding every task at 16.7M rows (see
-        # bounded_count for the real cost profile)
+        # derive_max_bucket's hi clamp saturates at hi² rows, so the
+        # clamped probe yields the IDENTICAL parameter as an unclamped
+        # count for every corpus size (see bounded_count for the cost
+        # profile; pass max_bucket explicitly to skip the probe)
         saturation = 4096 * 4096
         n = bounded_count(df, saturation)
         max_bucket = derive_max_bucket(n)
@@ -211,7 +205,7 @@ def minhash_lsh_candidates(
 
         logging.getLogger(__name__).info(
             "minhash_lsh_candidates: n=%s -> max_bucket=%d "
-            "(clamp(sqrt(n), 64, 4096); probe bounded at %d rows)",
+            "(clamp(sqrt(n), 64, 4096); probe clamped at %d)",
             f">={n}" if n >= saturation else n, max_bucket, saturation,
         )
     sig_udf = _make_minhash_udf(num_perm, k, mode)

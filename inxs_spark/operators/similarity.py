@@ -239,11 +239,11 @@ def pairwise_ann_candidates(
     external corpus-size hint, e.g. from table metadata) to skip the
     probe entirely; otherwise a saturating probe runs, exact below its
     536.9M-row saturation point (32·2^24 — round-3 advice fix: the
-    docstring previously claimed 16.7M). Below saturation the probe
-    does count every row, in parallel with per-task work bounded at
-    the saturation (see ``bounded_count``) — a metadata ``n_rows``
-    hint is always the cheaper path at scale. A saturated probe logs
-    and uses the probe bound (planes err LOW:
+    docstring previously claimed 16.7M). The probe is a distributed
+    JVM count clamped on the driver — a full (zero-column, codegen,
+    metadata-fast on plain parquet scans) pass, so a ``n_rows``
+    metadata hint is always the cheaper path at scale. A saturated
+    probe logs and uses the probe bound (planes err LOW:
     too-few planes costs bucket size, never recall — too MANY planes
     is the recall killer for single-table hyperplane LSH)."""
     if n_planes is None:

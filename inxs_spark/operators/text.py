@@ -335,6 +335,12 @@ def ngram_lm_perplexity(
     )
 
 
+#: previous remove_boilerplate_lines blacklist cache — released on the
+#: next call so repeated invocations leak at most ONE cached digest
+#: frame (see the broadcast-guard docstring)
+_LAST_BLACKLIST_CACHE: list = []
+
+
 def line_doc_freq(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", sep: str = "\n") -> DataFrame:
     """Distinct-document frequency per exact line: (line_md5, n_docs).
@@ -384,16 +390,19 @@ def remove_boilerplate_lines(
     distinct strings" fails at 100 TB with a low ``min_docs`` — every
     common short sentence clears the bar and an unbounded broadcast
     can blow the driver/broadcast limit. The blacklist is therefore
-    persisted (spillable) and size-probed with a per-task-capped count
-    (``bounded_count``, never a single-partition limit): at or below
+    persisted (spillable) and size-probed with a clamped distributed
+    count (``bounded_count``, never a single-partition limit): at or below
     ``broadcast_max_lines`` rows it broadcasts as before; above, the
     anti-join falls back to a digest-keyed SHUFFLE_HASH join — both
     sides exchange only 16-byte keys, still cheap. Which path ran is
     surfaced via the log line (and ``_join_path_out`` for tests). The
     probe's aggregation pass doubles as the cache materialization the
-    join needs anyway, so the guard adds no extra corpus scan; the
-    blacklist cache stays alive for the caller's action (clearCache()
-    or re-derive to release)."""
+    join needs anyway, so the guard adds no extra corpus scan. The
+    blacklist cache must stay alive for the caller's action; to avoid
+    leaking one cache per call for the session's lifetime (round-4
+    review), each call releases the PREVIOUS call's blacklist cache —
+    the leak is bounded at one small digest frame, and clearCache()
+    releases that too."""
     import logging
 
     from pyspark import StorageLevel
@@ -401,11 +410,18 @@ def remove_boilerplate_lines(
     from .dedup import bounded_count
 
     freq = line_doc_freq(df, id_col, text_col, sep)
+    prev = _LAST_BLACKLIST_CACHE.pop() if _LAST_BLACKLIST_CACHE else None
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # previous session may already be stopped
     blacklist = (
         freq.filter(F.col("n_docs") >= min_docs)
         .select("line_md5")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _LAST_BLACKLIST_CACHE.append(blacklist)
     n_black = bounded_count(blacklist, broadcast_max_lines + 1)
     use_broadcast = n_black <= broadcast_max_lines
     logging.getLogger(__name__).info(

@@ -190,11 +190,13 @@ def streaming_curate(
     (each batch overwrites its own partition directory). Each
     microbatch appends one attrition-lineage row (rows_in after the
     streaming dedup → rows_kept past extraction+quality gate) to
-    ``out_root/metrics`` and refreshes the queryable
-    ``out_root/metrics_table`` parquet — the streaming counterpart of
-    the batch curate() metrics table (round-3 verdict task 8). The
-    per-batch count actions are bounded by microbatch size, never
-    corpus size."""
+    ``out_root/metrics`` — O(1) per batch; call
+    ``compact_curate_metrics(spark, out_root)`` once after the stream
+    stops to fold them into the queryable ``metrics_table`` parquet
+    (the streaming counterpart of the batch curate() metrics table,
+    round-3 verdict task 8; recompacting per batch would be O(N²)
+    over the stream's life). The per-batch count actions are bounded
+    by microbatch size, never corpus size."""
     from ..jobs.curate import write_curate_metrics
     from ..operators.text import quality_score
 
@@ -235,6 +237,7 @@ def streaming_curate(
             batch_df.sparkSession, out_root,
             {"input": rows_in, "output": rows_kept},
             run_id=f"batch{batch_id}", op="streaming_curate",
+            compact=False,
         )
 
     writer = (

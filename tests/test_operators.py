@@ -630,7 +630,9 @@ class TestDedup:
         """ccTLD-registered sites resolve to suffix+1 labels via the
         embedded public-suffix subset instead of collapsing to the
         bare suffix (round-3 verdict finding); generic TLDs keep the
-        last-two-labels rule; the bare suffix itself yields ''."""
+        last-two-labels rule; a BARE multi-label suffix host falls
+        through to that same last-2-labels branch (documented edge —
+        both engines agree); single labels yield ''."""
         from inxs_spark.operators.urls import canonical_urls
 
         cases = [

@@ -198,8 +198,12 @@ def test_streaming_curate(spark, tiny_transcripts, tmp_out):
     assert rows and all(r.quality >= 0.2 for r in rows)
     assert "batch_id" in got.columns  # partition-directory sink
 
-    # per-batch attrition lineage lands in the queryable metrics table
-    # (round-3 verdict task 8): rows_kept sums back to the sink count
+    # per-batch attrition lineage: O(1) JSON appends during the
+    # stream, one compaction at shutdown into the queryable metrics
+    # table (round-3 verdict task 8); rows_kept sums back to the sink
+    from inxs_spark.jobs.curate import compact_curate_metrics
+
+    compact_curate_metrics(spark, out_root)
     mt = spark.read.parquet(os.path.join(out_root, "metrics_table"))
     mrows = mt.filter(F.col("op") == "streaming_curate").collect()
     assert mrows and {r.stage for r in mrows} == {"input", "output"}
