@@ -1085,13 +1085,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text signals in ONE projection-joined frame:
     token counts (whitespace + BPE-ish regex), quality score features,
-    language ID, fingerprints, repeated-trigram ratio — five operators,
-    one oracled query (round-4 registry consolidation; each column set
-    keeps its operator's exact semantics and former per-query oracle
-    fragment)."""
+    language ID, fingerprints, repeated-trigram ratio, and the
+    C4/Gopher/FineWeb line-level heuristics (duplicate/bullet/
+    ellipsis/short/terminal-punct line fractions) — six operators,
+    one oracled query (round-4 registry consolidation; each column
+    set keeps its operator's exact semantics)."""
     from inxs_spark.operators.text import (
         fingerprint,
         language_id,
+        line_signals,
         quality_score,
         repetition_ratio,
         token_count,
@@ -1108,9 +1110,14 @@ def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = repetition_ratio(docs, n=3).select(
         "doc_id", "n_grams", "n_distinct_grams", "rep_ratio"
     )
+    ls = line_signals(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "short_line_frac",
+        "terminal_punct_line_frac",
+    )
     return (
         tc.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id")
-        .join(rr, "doc_id").orderBy("doc_id")
+        .join(rr, "doc_id").join(ls, "doc_id").orderBy("doc_id")
     )
 
 
@@ -1830,6 +1837,30 @@ def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain quota over synthesized URLs (the
+    FineWeb-style site cap): co.uk and com.au sites keep SEPARATE
+    quotas thanks to the public-suffix handling. Demo — the suffix
+    regex itself is oracle-pinned via q_url_canonicalize."""
+    from inxs_spark.operators.urls import domain_quota_sample
+
+    m3 = F.col("doc_id") % 3
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+            F.when(m3 == 0, F.lit(".co.uk")).when(m3 == 1, F.lit(".com.au"))
+            .otherwise(F.lit(".com")),
+            F.lit("/page/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return (
+        domain_quota_sample(urls, quota_per_domain=5)
+        .groupBy("registered_domain")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("registered_domain")
+    )
+
+
 def x_pdf_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout-parse plumbing (decode stubbed per container limits):
     binary pdf → (page, block) rows → body text in reading order."""
@@ -1936,6 +1967,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_percentiles": x_approx_percentiles,
         "x_compression_quality": x_compression_quality,
         "x_approx_distinct_users": x_approx_distinct_users,
+        "x_domain_quota_sample": x_domain_quota_sample,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
         "x_token_counts": q_token_counts,
@@ -2178,12 +2210,38 @@ def oracle_sql() -> dict[str, str]:
                        len(list_distinct(grams)) AS n_distinct_grams,
                        round(1 - len(list_distinct(grams)) / len(grams), 4) AS rep_ratio
                 FROM g
+            ), lsig AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x != '') AS ls
+                FROM documents
+            ), lsr AS (
+                SELECT doc_id,
+                       len(ls) AS n_lines,
+                       round((len(ls) - len(list_distinct(ls)))
+                             / greatest(len(ls), 1), 4) AS dup_line_frac,
+                       round(len(list_filter(ls, x -> starts_with(x, '- ')
+                                 OR starts_with(x, '* ')
+                                 OR starts_with(x, '• ')))
+                             / greatest(len(ls), 1), 4) AS bullet_line_frac,
+                       round(len(list_filter(ls, x -> ends_with(x, '...')
+                                 OR ends_with(x, '…')))
+                             / greatest(len(ls), 1), 4) AS ellipsis_line_frac,
+                       round(len(list_filter(ls, x -> len(string_split(x, ' ')) <= 3))
+                             / greatest(len(ls), 1), 4) AS short_line_frac,
+                       round(len(list_filter(ls, x -> regexp_matches(x, '[.!?]$')))
+                             / greatest(len(ls), 1), 4) AS terminal_punct_line_frac
+                FROM lsig
             )
             SELECT tok.doc_id, n_tokens, n_bpe_tokens, n_chars, mean_token_len,
                    punct_ratio, stopword_ratio, quality, lang_pred, stopword_hits,
-                   fp_md5, fp_block, n_grams, n_distinct_grams, rep_ratio
+                   fp_md5, fp_block, n_grams, n_distinct_grams, rep_ratio,
+                   n_lines, dup_line_frac, bullet_line_frac, ellipsis_line_frac,
+                   short_line_frac, terminal_punct_line_frac
             FROM tok JOIN q USING (doc_id) JOIN l USING (doc_id)
                      JOIN fp USING (doc_id) JOIN r USING (doc_id)
+                     JOIN lsr USING (doc_id)
             ORDER BY doc_id
         """,
         "q_exact_dup_groups": """

@@ -335,6 +335,51 @@ def ngram_lm_perplexity(
     )
 
 
+def line_signals(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Line-level document-quality heuristics — the published
+    C4/Gopher/FineWeb filter family (public recipes: C4 keeps lines
+    with terminal punctuation; Gopher rejects docs with high
+    duplicate-line or bullet/ellipsis fractions): per document,
+    (n_lines, dup_line_frac, bullet_line_frac, ellipsis_line_frac,
+    short_line_frac, terminal_punct_line_frac) over non-blank trimmed
+    lines. Pure JVM array expressions (split/transform/filter/
+    array_distinct — whole-stage codegen, no shuffle, no Python):
+    at 100 TB this pipelines inside the scan stage, and every
+    expression has an exact DuckDB list-function mirror so the
+    signals are oracle-checkable."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    denom = F.greatest(n, F.lit(1))
+
+    def frac(pred):
+        return F.round(F.size(F.filter(lines, pred)) / denom, 4)
+
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        F.round(
+            (n - F.size(F.array_distinct(lines))) / denom, 4
+        ).alias("dup_line_frac"),
+        frac(
+            lambda x: x.startswith("- ") | x.startswith("* ")
+            | x.startswith("• ")
+        ).alias("bullet_line_frac"),
+        frac(lambda x: x.endswith("...") | x.endswith("…")).alias(
+            "ellipsis_line_frac"
+        ),
+        frac(lambda x: F.size(F.split(x, " ")) <= 3).alias(
+            "short_line_frac"
+        ),
+        frac(lambda x: x.rlike(r"[.!?]$")).alias(
+            "terminal_punct_line_frac"
+        ),
+    )
+
+
 #: previous remove_boilerplate_lines blacklist cache — released on the
 #: next call so repeated invocations leak at most ONE cached digest
 #: frame (see the broadcast-guard docstring)

@@ -471,6 +471,61 @@ class TestDedup:
         with _pytest.raises(ValueError):
             containment_pairs(df, short_docs="bogus").collect()
 
+    def test_line_signals(self, spark):
+        """C4/Gopher/FineWeb line heuristics on a planted doc: each
+        fraction counts exactly the planted lines; blank lines are
+        excluded everywhere; a no-newline doc reads as one line."""
+        from inxs_spark.operators.text import line_signals
+
+        text = "\n".join([
+            "A proper sentence ends here.",   # terminal punct
+            "- bullet item one",              # bullet
+            "- bullet item one",              # duplicate + bullet
+            "to be continued...",             # ellipsis + terminal-less
+            "short one",                      # short (2 tokens)
+            "",                               # blank → excluded
+            "Another full sentence with plenty of words in it!",
+        ])
+        df = spark.createDataFrame(
+            [(1, text), (2, "single line no newline")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in line_signals(df).collect()}
+        r1 = got[1]
+        assert r1.n_lines == 6
+        assert r1.dup_line_frac == round(1 / 6, 4)
+        assert r1.bullet_line_frac == round(2 / 6, 4)
+        assert r1.ellipsis_line_frac == round(1 / 6, 4)
+        # short (≤3 tokens): 'short one' (2) and 'to be continued...'
+        # (3); the bullet dups are 4 tokens each
+        assert r1.short_line_frac == round(2 / 6, 4)
+        # terminal [.!?]: sentence 1, ellipsis line, final sentence
+        assert r1.terminal_punct_line_frac == round(3 / 6, 4)
+        assert got[2].n_lines == 1 and got[2].dup_line_frac == 0.0
+
+    def test_domain_quota_sample(self, spark):
+        """Per-registered-domain caps: quota applies per example.co.uk
+        vs other.co.uk SEPARATELY (public-suffix grouping), selection
+        is deterministic hash order, under-quota domains keep all."""
+        from inxs_spark.operators.urls import domain_quota_sample
+
+        rows = [(f"https://example.co.uk/p{i}",) for i in range(10)]
+        rows += [(f"https://other.co.uk/p{i}",) for i in range(10)]
+        rows += [("https://tiny.com/only",)]
+        df = spark.createDataFrame(rows, "url string")
+        out = domain_quota_sample(df, quota_per_domain=3)
+        by_dom = {}
+        for r in out.collect():
+            by_dom.setdefault(r.registered_domain, []).append(r.url)
+        assert sorted(by_dom) == ["example.co.uk", "other.co.uk", "tiny.com"]
+        assert len(by_dom["example.co.uk"]) == 3
+        assert len(by_dom["other.co.uk"]) == 3
+        assert by_dom["tiny.com"] == ["https://tiny.com/only"]
+        # deterministic: identical selection on re-run
+        again = {r.url for r in
+                 domain_quota_sample(df, quota_per_domain=3).collect()}
+        assert again == {u for us in by_dom.values() for u in us}
+
     def test_repeated_window_stats(self, spark):
         """Planted aligned 4-token repetition across docs is counted;
         unique windows are not; the short tail window counts as one."""
