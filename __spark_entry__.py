@@ -1766,7 +1766,8 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.jobs.curate import curate
 
     docs = _t(spark, sf_dir, "documents")
-    _curated, stats = curate(docs, quota_per_lang=50)
+    curated, stats = curate(docs, quota_per_lang=50)
+    curated.unpersist()  # stats collected; release the stage cache
     return spark.createDataFrame(
         [tuple(int(stats[k]) for k in sorted(stats))],
         ", ".join(f"{k} long" for k in sorted(stats)),

@@ -3,7 +3,8 @@ dir, compare row-count / column names / order-insensitive values
 against oracle_sql() via DuckDB — a local mimic of CORRECTNESS_r{N}.
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
-"""
+Set SPARK_GRAFT_EXTRAS=1 to also run extra_queries() (rows-only demo
+set — printed as ROWS lines, never compared)."""
 
 from __future__ import annotations
 
@@ -58,7 +59,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    if os.environ.get("SPARK_GRAFT_EXTRAS") == "1":
+        qs.update(entrymod.extra_queries())
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
