@@ -1838,6 +1838,23 @@ def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) over the
+    embeddings table: k-means cells → within-cell cosine pairs →
+    connected components → one survivor per semantic cluster. Demo
+    summary row; the within-cell exact-cosine and CC machinery are
+    each oracle-pinned elsewhere (q_embedding_near_dup_exact,
+    q_dedup_clusters)."""
+    from inxs_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    survivors = semantic_dedup(emb, dim=dim, min_cos=0.9, n_cells=8)
+    return emb.agg(F.count("*").cast("long").alias("n_in")).crossJoin(
+        survivors.agg(F.count("*").cast("long").alias("n_survivors"))
+    )
+
+
 def x_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain quota over synthesized URLs (the
     FineWeb-style site cap): co.uk and com.au sites keep SEPARATE
@@ -1968,6 +1985,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_percentiles": x_approx_percentiles,
         "x_compression_quality": x_compression_quality,
         "x_approx_distinct_users": x_approx_distinct_users,
+        "x_semantic_dedup": x_semantic_dedup,
         "x_domain_quota_sample": x_domain_quota_sample,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,

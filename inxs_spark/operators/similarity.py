@@ -460,3 +460,76 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cands = assigned.filter(F.col("cell").isin(probes))
     return cosine_topk(cands, qv, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup — cluster-then-prune (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication" — public paper)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.95,
+    n_cells: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic near-dup pairs the SemDeDup way: k-means the
+    embeddings into ``n_cells`` coarse clusters (bounded driver-side
+    sample — O(sample) training, never O(corpus)), then compare
+    pairs WITHIN each cluster only (exact cosine ≥ ``min_cos``).
+    Quadratic cost is bounded per cell (expected corpus/n_cells²
+    pairs per cell vs corpus²/2 all-pairs); pairs straddling a cell
+    boundary are missed by design — the paper's documented trade,
+    acceptable because semantic duplicates sit deep inside clusters
+    at the 0.95+ cosine band this targets. One shuffle on the cell
+    key; cell assignment is JVM codegen below the literal budget and
+    the vectorized matmul UDF above it (same plumbing as IVF)."""
+    cents = ivf_train_centroids(
+        df, dim, n_cells=n_cells, vec_col=vec_col, seed=seed
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine(F.col("v_a").cast("array<double>"),
+                       F.col("v_b").cast("array<double>")), 4,
+            ),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.95,
+    n_cells: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs → connected
+    components → keep the min-id representative of every semantic
+    cluster (singletons always survive). Component semantics matter
+    here exactly as in text near-dup: chains A~B~C must collapse to
+    ONE survivor, not pairwise-drop to zero."""
+    from .dedup import dedup_keep_one_per_cluster
+
+    pairs = semantic_dedup_pairs(
+        df, dim, id_col, vec_col, min_cos, n_cells, seed
+    )
+    return dedup_keep_one_per_cluster(df, pairs, id_col)

@@ -1337,6 +1337,52 @@ class TestIVF:
             rows.append((i, [float(x) for x in c]))
         return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
+    def test_semantic_dedup_pairs_and_survivors(self, spark, clustered):
+        """SemDeDup composition: planted near-identical vectors inside
+        a cluster form pairs at cos >= 0.95 and collapse to one
+        survivor (component semantics on a chain); vectors in other
+        clusters are untouched; cross-cluster pairs never appear."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from inxs_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_pairs,
+        )
+
+        # plant a 3-chain of near-duplicates around cluster-0's center
+        base = np.array([10.0, 0, 0, 0, 0, 0, 0, 0])
+        extra = [
+            (1000, [float(x) for x in base]),
+            (1001, [float(x) for x in base * 1.001 + 0.001]),
+            (1002, [float(x) for x in base * 1.002 + 0.002]),
+        ]
+        df = clustered.unionByName(
+            spark.createDataFrame(extra, "vec_id long, embedding array<double>")
+        )
+        pairs = semantic_dedup_pairs(df, dim=8, min_cos=0.9999, n_cells=3)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert {(1000, 1001), (1000, 1002), (1001, 1002)} <= got
+        # no pair can straddle clusters: every pair's members share a
+        # true cluster (mod-3 for the fixture rows; planted rows are
+        # all cluster 0)
+        def true_cluster(i):
+            return 0 if i >= 1000 else i % 3
+        assert all(true_cluster(a) == true_cluster(b) for a, b in got)
+
+        survivors = {
+            r.vec_id for r in semantic_dedup(
+                df, dim=8, min_cos=0.9999, n_cells=3
+            ).collect()
+        }
+        # chain 1000~1001~1002 collapses to its min id ONLY
+        assert 1000 in survivors
+        assert 1001 not in survivors and 1002 not in survivors
+        # everything not in a >=0.9999 pair survives
+        paired = {i for p in got for i in p}
+        assert {i for i in range(240) if i not in paired} <= survivors
+
     def test_ivf_assignment_separates_clusters(self, spark, clustered):
         from inxs_spark.operators.similarity import ivf_assign, ivf_train_centroids
 
