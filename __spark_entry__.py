@@ -1082,6 +1082,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _embedding_dim(emb: DataFrame) -> int:
+    """Dimension of the embedding column, with a CLEAR error on an
+    empty table / NULL first vector instead of the bare TypeError the
+    old len(first()[0]) pattern raised (round-4 review)."""
+    row = emb.select("embedding").first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "embeddings table is empty or its first embedding is NULL — "
+            "cannot derive the vector dimension"
+        )
+    return len(row[0])
+
+
 def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text signals in ONE projection-joined frame:
     token counts (whitespace + BPE-ish regex), quality score features,
@@ -1211,7 +1224,7 @@ def q_embedding_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.operators.similarity import pairwise_ann_candidates
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
     lsh = pairwise_ann_candidates(emb, dim=dim, min_cos=0.45).select(
         "id_a", "id_b", F.lit(1).alias("l")
     )
@@ -1572,7 +1585,7 @@ def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.operators.similarity import pairwise_ann_candidates
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
     # n_planes derived from corpus size (round-1 hardcoded 6 → 64
     # buckets, which stops pruning beyond ~2k vectors)
     return pairwise_ann_candidates(
@@ -1848,7 +1861,7 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
     survivors = semantic_dedup(emb, dim=dim, min_cos=0.9, n_cells=8)
     return emb.agg(F.count("*").cast("long").alias("n_in")).crossJoin(
         survivors.agg(F.count("*").cast("long").alias("n_survivors"))

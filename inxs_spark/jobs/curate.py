@@ -93,7 +93,6 @@ def curate(
     metrics_table) plus one JSON line per stage under
     ``<metrics_out>/metrics/``."""
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     from ..operators.dedup import (
         dedup_keep_one_per_cluster,
@@ -181,13 +180,12 @@ def curate(
     ).withColumn(text_col, F.col("scrubbed")).drop("scrubbed")
 
     if quota_per_lang is not None:
-        w = Window.partitionBy("lang_pred").orderBy(
-            F.md5(F.col(id_col).cast("string")), id_col
-        )
-        scrubbed = (
-            scrubbed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= quota_per_lang)
-            .drop("__rn")
+        # shared keyed-quota primitive — same md5-hash-order selection
+        # rule as the per-domain quota (one definition, no drift)
+        from ..operators.text import deterministic_quota
+
+        scrubbed = deterministic_quota(
+            scrubbed, "lang_pred", id_col, quota_per_lang
         )
     # final stage cached too: the output count AND the caller's action
     # (or the out= write below) both read it instead of re-running

@@ -265,26 +265,38 @@ def pairwise_ann_candidates(
             n_rows, n_planes, 2 ** n_planes,
         )
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
-    a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    return _within_group_cosine_pairs(
+        bucketed, "bucket", id_col, vec_col, min_cos
+    ).distinct()
+
+
+def _within_group_cosine_pairs(
+    grouped: DataFrame,
+    key_col: str,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+) -> DataFrame:
+    """Shared within-group pair machinery for every bucketed/celled
+    cosine near-dup path: self-join on the group key, id_a < id_b,
+    threshold on the RAW cosine (rounding before the filter would
+    flip pairs at e.g. the 0.44995 boundary — round-4 review
+    finding; the rounded value is emitted for display/oracle only)."""
+    a = grouped.select(
+        F.col(key_col), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
     )
-    b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    b = grouped.select(
+        F.col(key_col), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
     )
+    raw = cosine(F.col("v_a").cast("array<double>"),
+                 F.col("v_b").cast("array<double>"))
     return (
-        a.join(b, "bucket")
+        a.join(b, key_col)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(
-                cosine(F.col("v_a").cast("array<double>"),
-                       F.col("v_b").cast("array<double>")),
-                4,
-            ),
-        )
-        .filter(F.col("cos") >= min_cos)
-        .select("id_a", "id_b", "cos")
-        .distinct()
+        .filter(raw >= min_cos)
+        .select("id_a", "id_b", F.round(raw, 4).alias("cos"))
     )
 
 
@@ -492,24 +504,8 @@ def semantic_dedup_pairs(
         df, dim, n_cells=n_cells, vec_col=vec_col, seed=seed
     )
     assigned = ivf_assign(df, cents, id_col, vec_col)
-    a = assigned.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
-    )
-    b = assigned.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(
-                cosine(F.col("v_a").cast("array<double>"),
-                       F.col("v_b").cast("array<double>")), 4,
-            ),
-        )
-        .filter(F.col("cos") >= min_cos)
-        .select("id_a", "id_b", "cos")
+    return _within_group_cosine_pairs(
+        assigned, "cell", id_col, vec_col, min_cos
     )
 
 
@@ -526,10 +522,30 @@ def semantic_dedup(
     components → keep the min-id representative of every semantic
     cluster (singletons always survive). Component semantics matter
     here exactly as in text near-dup: chains A~B~C must collapse to
-    ONE survivor, not pairwise-drop to zero."""
+    ONE survivor, not pairwise-drop to zero.
+
+    The cell-assigned frame is PERSISTED for the pair self-join
+    (round-4 review: uncached, the corpus scan + matmul assignment
+    ran once per join side) and released as soon as connected
+    components has materialized the edge set; the survivor anti-join
+    then reads the input once more — two passes over the corpus
+    total, matching curate()'s staged-cache discipline."""
+    from pyspark import StorageLevel
+
     from .dedup import dedup_keep_one_per_cluster
 
-    pairs = semantic_dedup_pairs(
-        df, dim, id_col, vec_col, min_cos, n_cells, seed
+    cents = ivf_train_centroids(
+        df, dim, n_cells=n_cells, vec_col=vec_col, seed=seed
     )
-    return dedup_keep_one_per_cluster(df, pairs, id_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = _within_group_cosine_pairs(
+        assigned, "cell", id_col, vec_col, min_cos
+    )
+    # dedup_keep_one_per_cluster materializes the edge set eagerly
+    # (localCheckpoint inside connected_components), so the assigned
+    # cache has served its purpose once it returns
+    survivors = dedup_keep_one_per_cluster(df, pairs, id_col)
+    assigned.unpersist()
+    return survivors

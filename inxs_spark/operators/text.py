@@ -616,6 +616,36 @@ def mix_ticket(id_col: str, salt: int = 0) -> Column:
     )
 
 
+def deterministic_quota(
+    df: DataFrame,
+    partition_col,
+    order_col,
+    quota: int,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per ``partition_col`` group, chosen
+    in md5(``order_col``)-hash order with ``order_col`` as tiebreak —
+    THE shared keyed-quota primitive (per-language quota in curate(),
+    per-registered-domain quota in urls.domain_quota_sample — one
+    definition so the selection rule can never drift between them;
+    round-4 review). Deterministic across runs/engines (no rand()),
+    one spillable window; the helper row-number column is generated
+    collision-free and dropped."""
+    from pyspark.sql.window import Window
+
+    rn_col = "__quota_rn"
+    while rn_col in df.columns:
+        rn_col = "_" + rn_col
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(partition_col).orderBy(
+        F.md5(order.cast("string")), order
+    )
+    return (
+        df.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) <= quota)
+        .drop(rn_col)
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     weights: dict[str, float],

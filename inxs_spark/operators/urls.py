@@ -161,6 +161,22 @@ def canonical_url(url_col: str) -> Column:
     return u
 
 
+def host_expr(url_col: str) -> Column:
+    """Lowercased authority minus userinfo and port — the ONE place
+    the host-extraction regex lives (round-4 review: a second copy in
+    the quota sampler risked quotas keyed on a stale host definition
+    after a future fix, e.g. IPv6 bracket hosts)."""
+    return F.regexp_extract(
+        F.lower(F.col(url_col)),
+        r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1,
+    )
+
+
+def registered_domain_expr(url_col: str) -> Column:
+    """Registrable domain of ``url_col`` via the shared suffix regex."""
+    return F.regexp_extract(host_expr(url_col), registered_domain_regex(), 1)
+
+
 def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(url, canonical_url, host, registered_domain): host is the
     lowercased authority minus port/userinfo; registered_domain is the
@@ -169,16 +185,11 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     shop.example.co.uk → example.co.uk, not co.uk), falling back to
     the last two labels under single-label TLDs. Swapping in the full
     publicsuffix.org list is the documented production seam."""
-    canon = canonical_url(url_col)
-    host = F.regexp_extract(
-        F.lower(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
-    )
-    reg_dom = F.regexp_extract(host, registered_domain_regex(), 1)
     return df.select(
         F.col(url_col),
-        canon.alias("canonical_url"),
-        host.alias("host"),
-        reg_dom.alias("registered_domain"),
+        canonical_url(url_col).alias("canonical_url"),
+        host_expr(url_col).alias("host"),
+        registered_domain_expr(url_col).alias("registered_domain"),
     )
 
 
@@ -196,23 +207,28 @@ def domain_quota_sample(
     would share one quota bucket (the round-3 verdict finding).
     One spillable window over the domain key; rows with no
     extractable registered domain (single-label hosts) share the ''
-    bucket and are quota'd together."""
-    from pyspark.sql.window import Window
+    bucket and are quota'd together. The quota window is the shared
+    :func:`~inxs_spark.operators.text.deterministic_quota` primitive
+    (same selection rule as curate()'s per-language quota — one
+    definition, no drift). The output adds a ``registered_domain``
+    column unless the caller's frame already carries one, in which
+    case the caller's column is left untouched and the quota keys on
+    the freshly derived value internally (no silent replacement —
+    round-4 review)."""
+    from .text import deterministic_quota
 
-    host = F.regexp_extract(
-        F.lower(F.col(url_col)),
-        r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1,
+    dom_col = "registered_domain"
+    drop_after = False
+    if dom_col in df.columns:
+        dom_col = "__quota_dom"
+        while dom_col in df.columns:
+            dom_col = "_" + dom_col
+        drop_after = True
+    quota = deterministic_quota(
+        df.withColumn(dom_col, registered_domain_expr(url_col)),
+        dom_col, url_col, quota_per_domain,
     )
-    reg_dom = F.regexp_extract(host, registered_domain_regex(), 1)
-    w = Window.partitionBy("registered_domain").orderBy(
-        F.md5(F.col(url_col)), url_col
-    )
-    return (
-        df.withColumn("registered_domain", reg_dom)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota_per_domain)
-        .drop("__rn")
-    )
+    return quota.drop(dom_col) if drop_after else quota
 
 
 def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
