@@ -274,6 +274,12 @@ def minhash_lsh_candidates(
     return pairs
 
 
+#: previous jaccard_verify candidate-pair cache — released on the next
+#: call, bounding the per-session leak at one small id-pair frame
+#: (same pattern as the boilerplate blacklist cache)
+_LAST_PAIRS_CACHE: list = []
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
@@ -282,18 +288,50 @@ def jaccard_verify(
     k: int = 3,
     threshold: float = 0.7,
     mode: str = "word",
+    prune_to_candidates: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs (JVM array set ops);
-    keeps pairs ≥ threshold. Joins are id→shingle lookups; at scale the
-    pairs side is small relative to the corpus, so AQE broadcasts it."""
-    sh = df.select(
+    keeps pairs ≥ threshold.
+
+    Scale shape (round-4 profiling fix): the naive id→shingle joins
+    computed the shingle projection over the FULL corpus for BOTH
+    join sides — two extra corpus passes even when LSH emitted a
+    handful of candidates. With ``prune_to_candidates`` (default) the
+    pair frame (id pairs only — tiny) is persisted, the corpus is
+    left-semi-pruned to candidate ids first (AQE broadcasts the id
+    set when small), and shingles are computed for candidates ONLY:
+    verify cost is now ∝ candidates, not corpus. The previous call's
+    pair cache is released on the next call (bounded leak of one
+    id-pair frame)."""
+    extra = ["max_dropped"] if "max_dropped" in pairs.columns else []
+    if prune_to_candidates:
+        from pyspark import StorageLevel
+
+        prev = _LAST_PAIRS_CACHE.pop() if _LAST_PAIRS_CACHE else None
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # previous session may already be stopped
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        _LAST_PAIRS_CACHE.append(pairs)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("__cid"))
+            .union(pairs.select(F.col("id_b").alias("__cid")))
+            .distinct()
+        )
+        base = df.join(
+            cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+        )
+    else:
+        base = df
+    sh = base.select(
         F.col(id_col).alias("id"), shingles(text_col, k, mode).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     # dropped-coverage column (if present) rides through the verify so
     # downstream consumers see where the hot-bucket cap bound
-    extra = ["max_dropped"] if "max_dropped" in pairs.columns else []
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .withColumn(
