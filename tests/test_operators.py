@@ -526,6 +526,31 @@ class TestDedup:
                  domain_quota_sample(df, quota_per_domain=3).collect()}
         assert again == {u for us in by_dom.values() for u in us}
 
+    def test_deterministic_quota_invariants(self, spark):
+        """The shared keyed-quota primitive: per-group output ≤ quota,
+        output ⊆ input, selection independent of input partitioning,
+        and a pre-existing helper-named column survives untouched."""
+        from inxs_spark.operators.text import deterministic_quota
+
+        rows = [(i, f"g{i % 7}", f"KEEP{i}") for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, grp string, __quota_rn string"
+        )
+        out = deterministic_quota(df, "grp", "doc_id", 5).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r.grp, []).append(r.doc_id)
+            assert r["__quota_rn"] == f"KEEP{r.doc_id}"  # caller column intact
+        assert all(len(v) <= 5 for v in by_g.values())
+        assert set(by_g) == {f"g{i}" for i in range(7)}
+        # partitioning-independent selection
+        again = sorted(
+            r.doc_id for r in deterministic_quota(
+                df.repartition(13), "grp", "doc_id", 5
+            ).collect()
+        )
+        assert again == sorted(r.doc_id for r in out)
+
     def test_repeated_window_stats(self, spark):
         """Planted aligned 4-token repetition across docs is counted;
         unique windows are not; the short tail window counts as one."""
