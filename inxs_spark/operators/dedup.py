@@ -315,6 +315,12 @@ def jaccard_verify(
                 pass  # previous session may already be stopped
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         _LAST_PAIRS_CACHE.append(pairs)
+        # materialize the cache NOW: the caller's single action would
+        # otherwise execute the candidate pipeline concurrently in both
+        # the cand_ids branch and the verify-join branch before the
+        # cache lands (measured ~2× candidate cost); one small eager
+        # count pins it to exactly one execution
+        pairs.count()
         cand_ids = (
             pairs.select(F.col("id_a").alias("__cid"))
             .union(pairs.select(F.col("id_b").alias("__cid")))
