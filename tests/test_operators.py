@@ -323,6 +323,45 @@ class TestDedup:
         assert acc.value <= 2 * n_rows, acc.value
         curated.unpersist()
 
+    def test_dedup_job_all_methods(self, spark, tmp_path):
+        """The standalone dedup job: each method writes survivors,
+        evidence pairs (near-dup methods) and queryable metrics; exact
+        removes the normalized dup, minhash removes the near dup via
+        component semantics, simhash at hamming 3 collapses the
+        near-identical pair."""
+        from inxs_spark.jobs.dedup import dedup_job
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and runs onward today"),
+            (2, "THE QUICK  BROWN FOX jumps over the lazy dog and runs onward today"),
+            (3, "the quick brown fox jumps over the lazy dog and runs onward now"),
+            (4, "a completely different document about other things entirely here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        out = str(tmp_path / "exact")
+        stats = dedup_job(df, out, method="exact")
+        ids = {r.doc_id for r in
+               spark.read.parquet(out + "/survivors").collect()}
+        assert stats == {"input": 4, "output": 3} and ids == {1, 3, 4}
+        mt = spark.read.parquet(out + "/metrics_table").collect()
+        assert {r.stage for r in mt} == {"input", "output"}
+        assert all(r.op == "dedup_exact" for r in mt)
+
+        out = str(tmp_path / "minhash")
+        stats = dedup_job(df, out, method="minhash", threshold=0.6)
+        ids = {r.doc_id for r in
+               spark.read.parquet(out + "/survivors").collect()}
+        assert ids == {1, 4}, ids  # 2 exact-dups-under-norm, 3 near-dups 1
+        pairs = spark.read.parquet(out + "/pairs").collect()
+        assert pairs and all(p.jaccard >= 0.6 for p in pairs)
+
+        out = str(tmp_path / "simhash")
+        dedup_job(df, out, method="simhash", max_hamming=3)
+        ids = {r.doc_id for r in
+               spark.read.parquet(out + "/survivors").collect()}
+        assert 4 in ids and 2 not in ids  # norm-dup always hamming 0
+
     def test_curate_writes_metrics_table(self, spark, tmp_path):
         """out=/metrics_out= write the curated parquet plus a
         QUERYABLE per-stage attrition table (stage order, rows,
