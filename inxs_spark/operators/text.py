@@ -616,6 +616,67 @@ def mix_ticket(id_col: str, salt: int = 0) -> Column:
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 64,
+    eod: str = "<eod>",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (with an
+    ``eod`` separator token after each) and chunk the stream into
+    fixed ``seq_len``-token training sequences — the
+    concat-then-chunk batcher every LLM pretraining pipeline needs.
+    Output: (shard, seq_idx, tokens array<string>, n_tokens); every
+    input token appears exactly once, in document order within its
+    shard, and all sequences are full except each shard's last.
+
+    Scale shape: documents hash deterministically into ``n_shards``
+    independent streams (shard count sets both parallelism and pack
+    locality); a per-shard running-sum window over per-doc token
+    counts (narrow ints, spillable sort) assigns each document its
+    global token offset WITHOUT collecting any shard's text; tokens
+    then explode once with their absolute positions and one
+    hash-aggregate groups them into sequences. Tokens shuffle exactly
+    once — inherent to packing, which must physically co-locate each
+    output sequence. Padding/attention masks are a downstream
+    concern; ``eod`` marks the document boundaries they need."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.concat(toks, F.array(F.lit(eod))).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    w = Window.partitionBy("shard").orderBy("__id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offset = base.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    positioned = offset.select(
+        "shard",
+        F.posexplode("__toks").alias("__i", "token"),
+        F.col("__off"),
+    ).select(
+        "shard",
+        (F.col("__off") + F.col("__i")).alias("__pos"),
+        "token",
+    )
+    return (
+        positioned.groupBy(
+            "shard", F.floor(F.col("__pos") / seq_len).cast("long").alias("seq_idx")
+        )
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(__pos, token))),"
+                   " x -> x.token)").alias("tokens"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def deterministic_quota(
     df: DataFrame,
     partition_col,

@@ -565,6 +565,54 @@ class TestDedup:
                  domain_quota_sample(df, quota_per_domain=3).collect()}
         assert again == {u for us in by_dom.values() for u in us}
 
+    def test_pack_sequences(self, spark):
+        """Concat-then-chunk packing invariants: every token appears
+        exactly once; within a shard, token order follows document
+        (id) order with an <eod> after each doc; all sequences are
+        exactly seq_len except each shard's last; deterministic
+        across partitioning."""
+        from inxs_spark.operators.text import pack_sequences
+
+        rows = [(i, " ".join(f"d{i}t{j}" for j in range(7 + i % 5)))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, seq_len=16, n_shards=4).collect()
+
+        total_in = sum(len(t.split()) + 1 for _i, t in rows)  # +1 eod each
+        assert sum(r.n_tokens for r in out) == total_in
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, seqs in by_shard.items():
+            seqs.sort(key=lambda r: r.seq_idx)
+            # contiguous seq indices, all full except the last
+            assert [r.seq_idx for r in seqs] == list(range(len(seqs)))
+            assert all(r.n_tokens == 16 for r in seqs[:-1])
+            stream = [t for r in seqs for t in r.tokens]
+            # reconstruct: this shard's docs in id order, eod-joined
+            # (shard assignment recomputed the operator's way)
+            import pyspark.sql.functions as F_
+
+            assign = {
+                r["doc_id"]: r["shard"]
+                for r in df.select(
+                    "doc_id",
+                    F_.pmod(F_.xxhash64("doc_id"), F_.lit(4)).alias("shard"),
+                ).collect()
+            }
+            want = [
+                tok
+                for i, t in rows
+                if assign[i] == shard
+                for tok in t.split() + ["<eod>"]
+            ]
+            assert stream == want, (shard, stream[:5], want[:5])
+        # partitioning-independent
+        again = {(r.shard, r.seq_idx): tuple(r.tokens) for r in
+                 pack_sequences(df.repartition(11), seq_len=16,
+                                n_shards=4).collect()}
+        assert again == {(r.shard, r.seq_idx): tuple(r.tokens) for r in out}
+
     def test_deterministic_quota_invariants(self, spark):
         """The shared keyed-quota primitive: per-group output ≤ quota,
         output ⊆ input, selection independent of input partitioning,
