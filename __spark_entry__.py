@@ -670,29 +670,54 @@ _BOILER20 = (
 )  # exactly 20 tokens = 2 aligned 10-token windows
 
 
-def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic source mixing (training-data mixture weights):
-    keep 100% of en, 50% of de, 10% of fr, 0% of everything else,
-    decided by a cross-engine md5 ticket — per-language kept counts
-    and an id-set digest are value-checked against DuckDB applying the
-    identical rule."""
-    from inxs_spark.operators.text import weighted_mix
+def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH deterministic mixing primitives in one oracled frame
+    (round-4 slot consolidation — freed the slot q_pack_sequences now
+    uses): 'mix' rows = weighted source mixing (keep 100% en / 50% de
+    / 10% fr), 'splits' rows = 90/5/5 train/val/test assignment; both
+    decided by the cross-engine md5 ticket, with per-group counts AND
+    order-insensitive id-set digests value-checked against DuckDB
+    applying the identical thresholds."""
+    from inxs_spark.operators.text import assign_splits, weighted_mix
 
     docs = _t(spark, sf_dir, "documents")
-    mixed = weighted_mix(docs, {"en": 1.0, "de": 0.5, "fr": 0.1},
-                         key_col="lang", id_col="doc_id")
-    return (
-        mixed.groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_kept"),
-            # order-insensitive id-set digest: SUM of per-id hashes
-            F.sum(
-                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
-                       16, 10).cast("long")
-            ).cast("long").alias("id_digest"),
-        )
-        .orderBy("lang")
+    digest = F.sum(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    ).cast("long").alias("id_digest")
+    mixed = (
+        weighted_mix(docs, {"en": 1.0, "de": 0.5, "fr": 0.1},
+                     key_col="lang", id_col="doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"), digest)
+        .select(F.lit("mix").alias("op"), "lang",
+                F.lit("kept").alias("split"), "n", "id_digest")
     )
+    splits = (
+        assign_splits(docs)
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("long").alias("n"), digest)
+        .select(F.lit("splits").alias("op"), "lang", "split", "n", "id_digest")
+    )
+    return mixed.unionByName(splits).orderBy("op", "lang", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with a FULL cross-engine oracle: the md5-
+    ticket sharding, running-offset window and concat-then-chunk
+    grouping are all reproduced in DuckDB SQL, and each packed
+    sequence is value-checked via its token-stream md5 — packing is
+    bit-for-bit reproducible across engines, which is exactly what a
+    training run resuming on different infrastructure needs."""
+    from inxs_spark.operators.text import pack_sequences
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=256, n_shards=8
+    )
+    return packed.select(
+        "shard", "seq_idx", "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("seq_md5"),
+    ).orderBy("shard", "seq_idx")
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1980,8 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_lines": q_boilerplate_lines,
         "q_url_canonicalize": q_url_canonicalize,
         "q_repeated_windows": q_repeated_windows,
-        "q_weighted_mix": q_weighted_mix,
-        "q_train_val_test": q_train_val_test,
+        "q_data_mixing": q_data_mixing,
+        "q_pack_sequences": q_pack_sequences,
         "q_conversation_prefix_groups": q_conversation_prefix_groups,
         "q_lm_perplexity": q_lm_perplexity,
         "q_containment_pairs": q_containment_pairs,
@@ -2022,6 +2047,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_compression_quality": x_compression_quality,
         "x_approx_distinct_users": x_approx_distinct_users,
         "x_pack_sequences": x_pack_sequences,
+        "x_train_val_test": q_train_val_test,
         "x_semantic_dedup": x_semantic_dedup,
         "x_domain_quota_sample": x_domain_quota_sample,
         "x_pdf_layout_extract": x_pdf_layout_extract,
@@ -2661,32 +2687,10 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY prefix_md5 HAVING count(*) > 1
             ORDER BY prefix_md5
         """,
-        "q_train_val_test": """
+        "q_data_mixing": """
             -- ticket: 15-hex-digit md5 prefix mod 2^20 (exactly
-            -- uniform); thresholds are round(frac * 1048576) cumulative
-            WITH t AS (
-              SELECT doc_id, lang,
-                     CAST(concat('0x',
-                         substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))
-                       AS BIGINT) % 1048576 AS ticket
-              FROM documents
-            ), s AS (
-              SELECT doc_id, lang,
-                     CASE WHEN ticket < 943718 THEN 'train'
-                          WHEN ticket < 996147 THEN 'val'
-                          ELSE 'test' END AS split
-              FROM t
-            )
-            SELECT lang, split,
-                   count(*) AS n_docs,
-                   CAST(sum(CAST(concat('0x',
-                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                     AS BIGINT)) AS BIGINT) AS id_digest
-            FROM s GROUP BY lang, split ORDER BY lang, split
-        """,
-        "q_weighted_mix": """
-            -- ticket: 15-hex-digit md5 prefix mod 2^20 (exactly
-            -- uniform); thresholds are round(weight * 1048576)
+            -- uniform); mix thresholds round(weight * 1048576), split
+            -- thresholds cumulative round(frac * 1048576)
             WITH t AS (
               SELECT doc_id, lang,
                      CAST(concat('0x',
@@ -2698,13 +2702,59 @@ def oracle_sql() -> dict[str, str]:
               WHERE (lang = 'en' AND ticket < 1048576)
                  OR (lang = 'de' AND ticket < 524288)
                  OR (lang = 'fr' AND ticket < 104858)
+            ), s AS (
+              SELECT doc_id, lang,
+                     CASE WHEN ticket < 943718 THEN 'train'
+                          WHEN ticket < 996147 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM t
             )
-            SELECT lang,
-                   count(*) AS n_kept,
+            SELECT 'mix' AS op, lang, 'kept' AS split,
+                   count(*) AS n,
                    CAST(sum(CAST(concat('0x',
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                      AS BIGINT)) AS BIGINT) AS id_digest
-            FROM kept GROUP BY lang ORDER BY lang
+            FROM kept GROUP BY lang
+            UNION ALL
+            SELECT 'splits', lang, split,
+                   count(*),
+                   CAST(sum(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT)) AS BIGINT)
+            FROM s GROUP BY lang, split
+            ORDER BY op, lang, split
+        """,
+        "q_pack_sequences": """
+            -- full cross-engine packing oracle: md5-ticket sharding
+            -- (salt 7), per-shard running token offsets, chunk into
+            -- 256-token sequences, value-check each sequence's token
+            -- stream via md5
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(concat('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                       AS BIGINT) % 1048576 % 8 AS shard,
+                     list_append(string_split(text, ' '), '<eod>') AS toks
+              FROM documents
+            ), o AS (
+              SELECT doc_id, shard, toks,
+                     coalesce(sum(len(toks)) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM d
+            ), pos AS (
+              SELECT shard,
+                     off + unnest(range(0, len(toks))) AS p,
+                     unnest(toks) AS tok
+              FROM o
+            )
+            SELECT shard,
+                   CAST(floor(p / 256) AS BIGINT) AS seq_idx,
+                   count(*) AS n_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY p)) AS seq_md5
+            FROM pos GROUP BY shard, seq_idx
+            ORDER BY shard, seq_idx
         """,
         "q_repeated_windows": """
             WITH aug AS (

@@ -623,6 +623,7 @@ def pack_sequences(
     seq_len: int = 512,
     n_shards: int = 64,
     eod: str = "<eod>",
+    shard_salt: int = 7,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents (with an
     ``eod`` separator token after each) and chunk the stream into
@@ -634,10 +635,14 @@ def pack_sequences(
 
     Scale shape: documents hash deterministically into ``n_shards``
     independent streams (shard count sets both parallelism and pack
-    locality); a per-shard running-sum window over per-doc token
-    counts (narrow ints, spillable sort) assigns each document its
-    global token offset WITHOUT collecting any shard's text; tokens
-    then explode once with their absolute positions and one
+    locality) via the CROSS-ENGINE md5 ticket shared with
+    weighted_mix/assign_splits (``shard_salt`` decorrelates sharding
+    from any mix decision; power-of-two shard counts divide the 2^20
+    ticket space exactly) — so an oracle engine can reproduce the
+    packing bit-for-bit; a per-shard running-sum window over per-doc
+    token counts (narrow ints, spillable sort) assigns each document
+    its global token offset WITHOUT collecting any shard's text;
+    tokens then explode once with their absolute positions and one
     hash-aggregate groups them into sequences. Tokens shuffle exactly
     once — inherent to packing, which must physically co-locate each
     output sequence. Padding/attention masks are a downstream
@@ -647,7 +652,7 @@ def pack_sequences(
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.pmod(mix_ticket(id_col, shard_salt), F.lit(n_shards)).alias("shard"),
         F.concat(toks, F.array(F.lit(eod))).alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     w = Window.partitionBy("shard").orderBy("__id").rowsBetween(

@@ -590,15 +590,14 @@ class TestDedup:
             assert all(r.n_tokens == 16 for r in seqs[:-1])
             stream = [t for r in seqs for t in r.tokens]
             # reconstruct: this shard's docs in id order, eod-joined
-            # (shard assignment recomputed the operator's way)
-            import pyspark.sql.functions as F_
+            # (shard assignment recomputed the cross-engine way — the
+            # md5 ticket with the operator's shard salt)
+            import hashlib
 
             assign = {
-                r["doc_id"]: r["shard"]
-                for r in df.select(
-                    "doc_id",
-                    F_.pmod(F_.xxhash64("doc_id"), F_.lit(4)).alias("shard"),
-                ).collect()
+                i: int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:15], 16)
+                % (1 << 20) % 4
+                for i, _t in rows
             }
             want = [
                 tok
