@@ -780,9 +780,10 @@ def q_conversation_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment via the
     cross-engine md5 ticket (stable under corpus growth and task
-    retries — no rand(), no global sort); per-(lang, split) counts and
-    id-set digests value-checked against DuckDB applying the identical
-    thresholds."""
+    retries — no rand(), no global sort). Registered as the
+    x_train_val_test DEMO only: the oracle value-check of these exact
+    counts/digests lives in q_data_mixing's 'splits' rows (round-4
+    slot consolidation)."""
     from inxs_spark.operators.text import assign_splits
 
     docs = _t(spark, sf_dir, "documents")
@@ -1876,29 +1877,6 @@ def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (concat-then-chunk with <eod> separators) over
-    the documents table: per-shard sequence counts + token totals.
-    Fully SQL-expressible (window + posexplode + group) — first in
-    line for a registry slot if one frees up; invariants are pinned in
-    tests (exact token multiset, order, full-sequence property)."""
-    from inxs_spark.operators.text import pack_sequences
-
-    packed = pack_sequences(
-        _t(spark, sf_dir, "documents"), seq_len=256, n_shards=8
-    )
-    return (
-        packed.groupBy("shard")
-        .agg(
-            F.count("*").cast("long").alias("n_seqs"),
-            F.sum(F.when(F.col("n_tokens") == 256, 1).otherwise(0))
-            .cast("long").alias("n_full_seqs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-        .orderBy("shard")
-    )
-
-
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023) over the
     embeddings table: k-means cells → within-cell cosine pairs →
@@ -2046,7 +2024,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_percentiles": x_approx_percentiles,
         "x_compression_quality": x_compression_quality,
         "x_approx_distinct_users": x_approx_distinct_users,
-        "x_pack_sequences": x_pack_sequences,
         "x_train_val_test": q_train_val_test,
         "x_semantic_dedup": x_semantic_dedup,
         "x_domain_quota_sample": x_domain_quota_sample,

@@ -143,15 +143,21 @@ def curate(
         c0.unpersist()
 
     t = time.monotonic()
+    # prune_verify: the eager jobs-path verify (candidates materialize
+    # once, verify touches candidate docs only); the cache it pins is
+    # released right after connected components consumes the edges,
+    # keeping this function's release-everything contract
     pairs = minhash_dedup_pairs(
         deduped, id_col=id_col, text_col=dd_col,
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, prune_verify=True,
     )
     # component-correct: keep the min id of every CONNECTED near-dup
     # cluster (pairwise loser-dropping over-deletes on chains A~B~C);
     # connected_components materializes the edge set eagerly — those
     # bounded jobs read the deduped CACHE, not the input
     pruned = dedup_keep_one_per_cluster(deduped, pairs, id_col)
+    if getattr(pairs, "_candidate_pairs_cache", None) is not None:
+        pairs._candidate_pairs_cache.unpersist()
     if normalize:
         pruned = pruned.drop(dd_col)
     pruned = pruned.persist(lvl)

@@ -83,21 +83,31 @@ def dedup_job(
     pairs = None
     if method == "exact":
         survivors = exact_dedup(c0, id_col, dd_col)
-    elif method == "minhash":
-        pairs = minhash_dedup_pairs(
-            c0, id_col=id_col, text_col=dd_col, threshold=threshold
+    else:
+        if method == "minhash":
+            pairs = minhash_dedup_pairs(
+                c0, id_col=id_col, text_col=dd_col, threshold=threshold,
+                prune_verify=True,
+            )
+        else:  # simhash
+            pairs = simhash_dup_pairs(
+                c0, id_col=id_col, text_col=dd_col, max_hamming=max_hamming
+            )
+        # write the evidence pairs ONCE, then cluster from the written
+        # parquet — re-deriving the pairs for connected components
+        # would execute the verify joins a second time (round-4
+        # review); the same read-back pattern the survivors count uses
+        pairs.write.mode("overwrite").parquet(os.path.join(out_root, "pairs"))
+        cache = getattr(pairs, "_candidate_pairs_cache", None)
+        if cache is not None:
+            cache.unpersist()
+        pairs_read = df.sparkSession.read.parquet(
+            os.path.join(out_root, "pairs")
         )
-        survivors = dedup_keep_one_per_cluster(c0, pairs, id_col)
-    else:  # simhash
-        pairs = simhash_dup_pairs(
-            c0, id_col=id_col, text_col=dd_col, max_hamming=max_hamming
-        )
-        survivors = dedup_keep_one_per_cluster(c0, pairs, id_col)
+        survivors = dedup_keep_one_per_cluster(c0, pairs_read, id_col)
     if normalize:
         survivors = survivors.drop(dd_col)
 
-    if pairs is not None:
-        pairs.write.mode("overwrite").parquet(os.path.join(out_root, "pairs"))
     survivors.write.mode("overwrite").parquet(
         os.path.join(out_root, "survivors")
     )

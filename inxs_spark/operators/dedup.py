@@ -274,12 +274,6 @@ def minhash_lsh_candidates(
     return pairs
 
 
-#: previous jaccard_verify candidate-pair cache — released on the next
-#: call, bounding the per-session leak at one small id-pair frame
-#: (same pattern as the boilerplate blacklist cache)
-_LAST_PAIRS_CACHE: list = []
-
-
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
@@ -288,46 +282,45 @@ def jaccard_verify(
     k: int = 3,
     threshold: float = 0.7,
     mode: str = "word",
-    prune_to_candidates: bool = True,
+    prune_to_candidates: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs (JVM array set ops);
-    keeps pairs ≥ threshold.
+    keeps pairs ≥ threshold. The default builds a fully LAZY plan
+    whose id→shingle joins compute the shingle projection over the
+    whole corpus (cheap JVM passes; AQE broadcasts the small pairs
+    side).
 
-    Scale shape (round-4 profiling fix): the naive id→shingle joins
-    computed the shingle projection over the FULL corpus for BOTH
-    join sides — two extra corpus passes even when LSH emitted a
-    handful of candidates. With ``prune_to_candidates`` (default) the
-    pair frame (id pairs only — tiny) is persisted, the corpus is
-    left-semi-pruned to candidate ids first (AQE broadcasts the id
-    set when small), and shingles are computed for candidates ONLY:
-    verify cost is now ∝ candidates, not corpus. The previous call's
-    pair cache is released on the next call (bounded leak of one
-    id-pair frame)."""
+    ``prune_to_candidates=True`` is the jobs-path shape for huge
+    corpora with few candidates: the pair frame (tiny id pairs) is
+    persisted and EAGERLY materialized (one count — otherwise the
+    caller's single action executes the candidate pipeline in both
+    the candidate-id branch and the verify branch before the cache
+    lands, measured ~2×), the corpus is left-semi-pruned to candidate
+    ids, and shingles are computed for candidates only: verify cost
+    ∝ candidates instead of two corpus passes. Because this
+    materializes at CALL time and pins a cache, it is OPT-IN; the
+    persisted frame rides on the returned DataFrame as
+    ``._candidate_pairs_cache`` so the caller can release it
+    deterministically once its own action has run (curate()/the dedup
+    job do — round-4 review findings on laziness, cache lifetime and
+    thread-safety of the previous module-global holder)."""
     extra = ["max_dropped"] if "max_dropped" in pairs.columns else []
+    pairs_cache = None
     if prune_to_candidates:
         from pyspark import StorageLevel
 
-        prev = _LAST_PAIRS_CACHE.pop() if _LAST_PAIRS_CACHE else None
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # previous session may already be stopped
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        _LAST_PAIRS_CACHE.append(pairs)
-        # materialize the cache NOW: the caller's single action would
-        # otherwise execute the candidate pipeline concurrently in both
-        # the cand_ids branch and the verify-join branch before the
-        # cache lands (measured ~2× candidate cost); one small eager
-        # count pins it to exactly one execution
+        pairs = pairs_cache = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         pairs.count()
+        cid = "__cand_id"
+        while cid in df.columns:
+            cid = "_" + cid
         cand_ids = (
-            pairs.select(F.col("id_a").alias("__cid"))
-            .union(pairs.select(F.col("id_b").alias("__cid")))
+            pairs.select(F.col("id_a").alias(cid))
+            .union(pairs.select(F.col("id_b").alias(cid)))
             .distinct()
         )
         base = df.join(
-            cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+            cand_ids, F.col(id_col) == F.col(cid), "left_semi"
         )
     else:
         base = df
@@ -338,7 +331,7 @@ def jaccard_verify(
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     # dropped-coverage column (if present) rides through the verify so
     # downstream consumers see where the hot-bucket cap bound
-    return (
+    out = (
         pairs.join(a, "id_a").join(b, "id_b")
         .withColumn(
             "jaccard",
@@ -351,16 +344,24 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", *extra)
     )
+    out._candidate_pairs_cache = pairs_cache
+    return out
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.7,
+                        prune_verify: bool = False,
                         **lsh_kwargs) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+    ``prune_verify=True`` is the eager jobs-path shape (see
+    jaccard_verify): candidate pairs materialize at call time and the
+    verify stage touches candidate documents only — callers must
+    release ``result._candidate_pairs_cache`` after their action."""
     cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
     return jaccard_verify(df, cands, id_col, text_col,
                           k=lsh_kwargs.get("k", 3), threshold=threshold,
-                          mode=lsh_kwargs.get("mode", "word"))
+                          mode=lsh_kwargs.get("mode", "word"),
+                          prune_to_candidates=prune_verify)
 
 
 # ---------------------------------------------------------------------------

@@ -649,6 +649,10 @@ def pack_sequences(
     concern; ``eod`` marks the document boundaries they need."""
     from pyspark.sql.window import Window
 
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("__id"),
