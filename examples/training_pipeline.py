@@ -5,6 +5,7 @@ way a 100 TB corpus build would chain them.
                 ──▶ quality gate (JVM-side scoring, no Python)
                 ──▶ exact dedup (hash groupBy, keep min key)
                 ──▶ conversation documents (ordered reassembly)
+                ──▶ sequence packing (concat-then-chunk, <eod>)
                 ──▶ token counts + summary
 
 Run:  python examples/training_pipeline.py [--tier tiny] [--master local[4]]
@@ -66,7 +67,23 @@ def main() -> None:
         deduped.select("conv_id", "turn_idx", "extracted_text", "failure")
     )
 
-    # 5. summary
+    # 5. pack into fixed-length training sequences (deterministic,
+    #    cross-engine md5-ticket shards; every token exactly once)
+    from inxs_spark.operators.text import pack_sequences
+
+    packed = pack_sequences(
+        docs, id_col="conv_id", text_col="conv_text",
+        seq_len=512, n_shards=4,
+    )
+    pack = packed.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum(F.when(F.col("n_tokens") == 512, 1).otherwise(0)).alias(
+            "n_full_seqs"
+        ),
+        F.sum("n_tokens").alias("n_packed_tokens"),
+    ).collect()[0]
+
+    # 6. summary
     with_tokens = docs.withColumn(
         "n_tokens", F.size(bpe_ish_tokens("conv_text")).cast("long")
     )
@@ -78,7 +95,9 @@ def main() -> None:
     ).collect()[0]
     print(
         f"documents={summary.n_documents} turns={summary.n_turns} "
-        f"tokens={summary.n_tokens} avg_tokens/doc={summary.avg_tokens_per_doc}"
+        f"tokens={summary.n_tokens} avg_tokens/doc={summary.avg_tokens_per_doc} "
+        f"seqs={pack.n_seqs} full_seqs={pack.n_full_seqs} "
+        f"packed_tokens={pack.n_packed_tokens}"
     )
     spark.stop()
 

@@ -50,7 +50,8 @@ def test_training_pipeline_example():
     out = proc.stdout.strip().splitlines()[-1]
     # deterministic corpus → deterministic summary line
     assert out == (
-        "documents=9 turns=2008 tokens=38948 avg_tokens/doc=4327.6"
+        "documents=9 turns=2008 tokens=38948 avg_tokens/doc=4327.6 "
+        "seqs=55 full_seqs=51 packed_tokens=26767"
     ), out
 
 
