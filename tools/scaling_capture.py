@@ -51,6 +51,11 @@ def main() -> int:
     loads: list[float] = []
     for _rep in range(args.reps):
         for cores in (n_low, n_high):
+            # per-REP loadavg gate (same discipline as bench.py): the
+            # entry gate alone let co-tenant spikes land mid-run — a
+            # 0.41-load start still recorded local[16] reps at load
+            # 4.8 (BENCH.md 2026-08-17 captures)
+            bench.wait_for_quiet(args.max_load + 1.5, 120)
             spark = bench.build_session(cores)
             from pyspark.sql import functions as F
 
