@@ -1211,10 +1211,14 @@ def q_simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same signatures — pinning the pigeonhole recall guarantee to a
     0-mismatch oracle row. Signatures are computed ONCE (distributed,
     vectorized UDF) and shared by both sides, so the gate isolates the
-    blocking plan, the one part brute force can't scale past."""
+    blocking plan, the one part brute force can't scale past. The
+    compared doc set is a deterministic <=2000-doc slice (smallest
+    doc_ids, the q_compression_parity pattern) so the driver-side
+    brute force stays bounded at ~2e6 popcounts regardless of tier
+    (round-4 review: unbounded, it went quadratic with sf)."""
     from inxs_spark.operators.dedup import simhash, simhash_pairs_from_sigs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(2000)
     sig_rows = [
         (r[0], r[1])
         for r in simhash(docs).withColumnRenamed("doc_id", "id").collect()
@@ -3014,8 +3018,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_simhash_parity": """
             -- pins Manku combined-block SimHash blocking to ZERO missed
-            -- pairs vs a brute-force popcount over the same signatures
-            SELECT count(*) AS n_docs,
+            -- pairs vs a brute-force popcount over the same signatures,
+            -- on a deterministic <=2000-doc slice (smallest doc_ids)
+            SELECT CAST(least(count(*), 2000) AS BIGINT) AS n_docs,
                    CAST(0 AS BIGINT) AS n_pair_mismatches
             FROM documents
         """,

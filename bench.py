@@ -180,9 +180,11 @@ def main() -> None:
     # cold start (extraction got its warm-up above)
     for name, _key in suite:
         try:
-            qs[name](boot, "/root/testdata/sf0.001").write.format(
-                "noop"
-            ).mode("overwrite").save()
+            wdf = qs[name](boot, "/root/testdata/sf0.001")
+            wdf.write.format("noop").mode("overwrite").save()
+            wcache = getattr(wdf, "_blacklist_cache", None)
+            if wcache is not None:
+                wcache.unpersist()
         except Exception:
             pass  # warm-up is best-effort
     # reps are INTERLEAVED across queries (q1,q2,…,q1,q2,…) so a
@@ -192,8 +194,14 @@ def main() -> None:
     for _rep in range(QUERY_REPS):
         for name, key in suite:
             t0 = time.monotonic()
-            qs[name](boot, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = qs[name](boot, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
             rep_walls[key].append(round(time.monotonic() - t0, 3))
+            # per-call caches (e.g. the boilerplate blacklist) are
+            # hung on the returned frame; release after the action
+            cache = getattr(df, "_blacklist_cache", None)
+            if cache is not None:
+                cache.unpersist()
     for _name, key in suite:
         if key in stress_keys:
             extra.setdefault("operator_stress_walls_s", {})[key] = min(

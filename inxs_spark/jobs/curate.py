@@ -156,13 +156,19 @@ def curate(
     # connected_components materializes the edge set eagerly — those
     # bounded jobs read the deduped CACHE, not the input
     pruned = dedup_keep_one_per_cluster(deduped, pairs, id_col)
-    if getattr(pairs, "_candidate_pairs_cache", None) is not None:
-        pairs._candidate_pairs_cache.unpersist()
     if normalize:
         pruned = pruned.drop(dd_col)
     pruned = pruned.persist(lvl)
     stats["after_near_dup_prune"] = pruned.count()
     walls["after_near_dup_prune"] = time.monotonic() - t
+    # release the candidate-pairs cache only AFTER pruned.count() has
+    # materialized: releasing it earlier was safe only because
+    # connected_components eagerly localCheckpoints the edge set — an
+    # implicit cross-module coupling; if that eagerness ever changed,
+    # the verify stage would silently re-execute from the source scan
+    # (round-4 advice)
+    if getattr(pairs, "_candidate_pairs_cache", None) is not None:
+        pairs._candidate_pairs_cache.unpersist()
     deduped.unpersist()
 
     t = time.monotonic()

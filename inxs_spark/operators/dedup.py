@@ -146,7 +146,7 @@ def derive_max_bucket(n_rows: int, lo: int = 64, hi: int = 4096) -> int:
     return min(max(lo, int(math.isqrt(max(n_rows, 1)))), hi)
 
 
-def bounded_count(df: DataFrame, saturation: int) -> int:
+def clamped_count(df: DataFrame, saturation: int) -> int:
     """Saturating row count for deriving CLAMPED parameters: returns
     the exact count below ``saturation`` and exactly ``saturation`` at
     or above it (every n ≥ saturation maps to the same derived value
@@ -196,10 +196,10 @@ def minhash_lsh_candidates(
     if max_bucket is None:
         # derive_max_bucket's hi clamp saturates at hi² rows, so the
         # clamped probe yields the IDENTICAL parameter as an unclamped
-        # count for every corpus size (see bounded_count for the cost
+        # count for every corpus size (see clamped_count for the cost
         # profile; pass max_bucket explicitly to skip the probe)
         saturation = 4096 * 4096
-        n = bounded_count(df, saturation)
+        n = clamped_count(df, saturation)
         max_bucket = derive_max_bucket(n)
         import logging
 

@@ -248,7 +248,7 @@ def pairwise_ann_candidates(
     is the recall killer for single-table hyperplane LSH)."""
     if n_planes is None:
         if n_rows is None:
-            from .dedup import bounded_count
+            from .dedup import clamped_count
 
             # derive_n_planes' hi clamp saturates at target_bucket·2^hi
             # = 32·2^24 rows, so a probe bounded there yields the
@@ -257,7 +257,7 @@ def pairwise_ann_candidates(
             # a smaller bound would silently under-plane corpora in
             # the 16.7M–536M range by up to 32x bucket size)
             saturation = 32 * (1 << 24)
-            n_rows = bounded_count(df, saturation)
+            n_rows = clamped_count(df, saturation)
         n_planes = derive_n_planes(n_rows)
         logger.info(
             "pairwise_ann_candidates: n=%d -> n_planes=%d "

@@ -380,12 +380,6 @@ def line_signals(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-#: previous remove_boilerplate_lines blacklist cache — released on the
-#: next call so repeated invocations leak at most ONE cached digest
-#: frame (see the broadcast-guard docstring)
-_LAST_BLACKLIST_CACHE: list = []
-
-
 def line_doc_freq(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", sep: str = "\n") -> DataFrame:
     """Distinct-document frequency per exact line: (line_md5, n_docs).
@@ -436,38 +430,35 @@ def remove_boilerplate_lines(
     common short sentence clears the bar and an unbounded broadcast
     can blow the driver/broadcast limit. The blacklist is therefore
     persisted (spillable) and size-probed with a clamped distributed
-    count (``bounded_count``, never a single-partition limit): at or below
+    count (``clamped_count``, never a single-partition limit): at or below
     ``broadcast_max_lines`` rows it broadcasts as before; above, the
     anti-join falls back to a digest-keyed SHUFFLE_HASH join — both
     sides exchange only 16-byte keys, still cheap. Which path ran is
     surfaced via the log line (and ``_join_path_out`` for tests). The
     probe's aggregation pass doubles as the cache materialization the
     join needs anyway, so the guard adds no extra corpus scan. The
-    blacklist cache must stay alive for the caller's action; to avoid
-    leaking one cache per call for the session's lifetime (round-4
-    review), each call releases the PREVIOUS call's blacklist cache —
-    the leak is bounded at one small digest frame, and clearCache()
-    releases that too."""
+    blacklist cache must stay alive for the caller's action, so it is
+    hung on the returned DataFrame as ``_blacklist_cache`` (the
+    ``_candidate_pairs_cache`` pattern from minhash_dedup_pairs):
+    each caller releases its OWN cache after its action — a shared
+    module-global (the round-4 shape) let a second call, or a
+    concurrent thread, unpersist a blacklist whose action hadn't run
+    yet, silently forcing a full line-frequency recompute (round-4
+    advice). Fire-and-forget callers leak one small digest-only frame
+    per call; clearCache() releases those too."""
     import logging
 
     from pyspark import StorageLevel
 
-    from .dedup import bounded_count
+    from .dedup import clamped_count
 
     freq = line_doc_freq(df, id_col, text_col, sep)
-    prev = _LAST_BLACKLIST_CACHE.pop() if _LAST_BLACKLIST_CACHE else None
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # previous session may already be stopped
     blacklist = (
         freq.filter(F.col("n_docs") >= min_docs)
         .select("line_md5")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _LAST_BLACKLIST_CACHE.append(blacklist)
-    n_black = bounded_count(blacklist, broadcast_max_lines + 1)
+    n_black = clamped_count(blacklist, broadcast_max_lines + 1)
     use_broadcast = n_black <= broadcast_max_lines
     logging.getLogger(__name__).info(
         "remove_boilerplate_lines: blacklist %s%d lines -> %s anti-join",
@@ -500,7 +491,7 @@ def remove_boilerplate_lines(
                      lambda x: F.trim(x) != "")
         ).cast("long").alias("n_lines_in"),
     )
-    return (
+    out = (
         totals.join(reassembled, id_col, "left")
         .select(
             F.col(id_col),
@@ -509,6 +500,9 @@ def remove_boilerplate_lines(
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
         )
     )
+    # caller releases this after its action (see docstring)
+    out._blacklist_cache = blacklist
+    return out
 
 
 def compression_ratio(df: DataFrame, id_col: str = "doc_id",
@@ -616,14 +610,36 @@ def mix_ticket(id_col: str, salt: int = 0) -> Column:
     )
 
 
+def derive_n_shards(n_rows: int, target_docs_per_shard: int = 4096,
+                    lo: int = 64, hi: int = 1 << 16) -> int:
+    """Shard count from corpus size for pack_sequences: the smallest
+    power of two giving ≤ ``target_docs_per_shard`` docs per shard,
+    clamped to [lo, hi] (both powers of two; shard counts must divide
+    the 2^20 md5-ticket space so the sharding stays cross-engine
+    reproducible). The per-shard running-offset window's parallelism
+    is EXACTLY n_shards — a fixed default of 64 under-parallelizes a
+    1000-executor cluster, while a corpus-derived count keeps every
+    core busy and each shard's spillable sort bounded (round-4 verdict
+    task 6; same derive-from-size discipline as derive_n_planes)."""
+    import math
+
+    if lo & (lo - 1) or hi & (hi - 1) or not 1 <= lo <= hi <= 1 << 20:
+        raise ValueError(f"lo/hi must be powers of two with 1<=lo<=hi<=2^20, got {lo}, {hi}")
+    if n_rows <= target_docs_per_shard:
+        return lo
+    p = math.ceil(math.log2(n_rows / target_docs_per_shard))
+    return min(max(1 << p, lo), hi)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     seq_len: int = 512,
-    n_shards: int = 64,
+    n_shards: int | None = None,
     eod: str = "<eod>",
     shard_salt: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents (with an
     ``eod`` separator token after each) and chunk the stream into
@@ -646,11 +662,32 @@ def pack_sequences(
     hash-aggregate groups them into sequences. Tokens shuffle exactly
     once — inherent to packing, which must physically co-locate each
     output sequence. Padding/attention masks are a downstream
-    concern; ``eod`` marks the document boundaries they need."""
+    concern; ``eod`` marks the document boundaries they need.
+
+    ``n_shards=None`` (default) derives the shard count from the
+    corpus size via ``derive_n_shards`` — from the ``n_rows`` hint if
+    given, else a distributed count probe (see clamped_count's cost
+    profile; always pass the hint when the row count is known from
+    table metadata). Pass ``n_shards`` explicitly for bit-for-bit
+    reproducible packing across corpora of different sizes (the
+    cross-engine oracle does)."""
     from pyspark.sql.window import Window
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards is None:
+        from .dedup import clamped_count
+
+        n = n_rows if n_rows is not None else clamped_count(
+            df, 4096 << 16  # derivation saturates at hi shards anyway
+        )
+        n_shards = derive_n_shards(n)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "pack_sequences: derived n_shards=%d from n_rows=%d",
+            n_shards, n,
+        )
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     toks = F.split(F.col(text_col), " ")

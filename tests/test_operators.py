@@ -612,6 +612,39 @@ class TestDedup:
                                 n_shards=4).collect()}
         assert again == {(r.shard, r.seq_idx): tuple(r.tokens) for r in out}
 
+    def test_derive_n_shards(self, spark):
+        """Shard-count derivation (round-4 verdict task 6): powers of
+        two clamped to [lo, hi], growing with the corpus so the
+        offset window's parallelism tracks cluster scale; the hint
+        path skips the count probe; derived-default packing equals
+        explicit packing at the derived value."""
+        from inxs_spark.operators.text import derive_n_shards, pack_sequences
+
+        assert derive_n_shards(0) == 64
+        assert derive_n_shards(4096) == 64            # <= target -> lo
+        assert derive_n_shards(64 * 4096) == 64       # lo still covers it
+        assert derive_n_shards(64 * 4096 + 1) == 128  # next power of two
+        assert derive_n_shards(10**6) == 256          # ceil(1e6/4096)->256
+        assert derive_n_shards(10**12) == 1 << 16     # clamps at hi
+        assert derive_n_shards(10**12, hi=1 << 20) == 1 << 20
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            derive_n_shards(10, lo=48)                # not a power of two
+        # default (derived) packing == explicit packing at the derived
+        # count; n_rows hint and probe agree
+        rows = [(i, f"a{i} b{i} c{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        derived = {(r.shard, r.seq_idx): tuple(r.tokens)
+                   for r in pack_sequences(df, seq_len=8).collect()}
+        explicit = {(r.shard, r.seq_idx): tuple(r.tokens)
+                    for r in pack_sequences(df, seq_len=8,
+                                            n_shards=64).collect()}
+        hinted = {(r.shard, r.seq_idx): tuple(r.tokens)
+                  for r in pack_sequences(df, seq_len=8,
+                                          n_rows=30).collect()}
+        assert derived == explicit == hinted
+
     def test_deterministic_quota_invariants(self, spark):
         """The shared keyed-quota primitive: per-group output ≤ quota,
         output ⊆ input, selection independent of input partitioning,
@@ -820,11 +853,14 @@ class TestDedup:
         for u, want in cases:
             assert got[u] == want, (u, got[u], want)
 
-    def test_registered_domain_regex_cross_engine(self):
-        """The shared pattern resolves identically under Python re
-        (first-match, Java-like) and DuckDB RE2 (leftmost-longest) for
-        every embedded suffix — the property the oracle parity relies
-        on."""
+    def test_registered_domain_regex_cross_engine(self, spark):
+        """The shared pattern resolves identically under Spark's Java
+        regex (the production engine), Python re, and DuckDB RE2
+        (leftmost-longest) for every embedded suffix. Round-4 advice:
+        previously only Python re stood proxy for Java — now the full
+        ~300-suffix host list is swept through Spark regexp_extract
+        itself, so the real Java-vs-RE2 pair is measured, not
+        inferred."""
         import re
 
         import duckdb
@@ -844,10 +880,18 @@ class TestDedup:
                 [pat, hosts],
             ).fetchall()
         ]
+        hdf = spark.createDataFrame([(h,) for h in hosts], "h string")
+        jvm = {
+            r.h: r.rd
+            for r in hdf.select(
+                "h", F.regexp_extract("h", pat, 1).alias("rd")
+            ).collect()
+        }
         for h, d in zip(hosts, duck):
             m = re.search(pat, h)
             py = m.group(1) if m else ""
             assert py == d, (h, py, d)
+            assert jvm[h] == d, (h, jvm[h], d)
             assert py.startswith("site.") or h == "x.y.z.example.ac.jp", h
 
     def test_decontamination_normalized(self, spark):
@@ -1046,18 +1090,18 @@ class TestDedup:
                simhash_pairs_from_sigs(sigs, max_hamming=0).collect()}
         assert got == {(1, 2)}
 
-    def test_bounded_count(self, spark):
-        from inxs_spark.operators.dedup import bounded_count
+    def test_clamped_count(self, spark):
+        from inxs_spark.operators.dedup import clamped_count
 
         df = spark.range(1000)
-        assert bounded_count(df, 5000) == 1000   # exact below saturation
-        assert bounded_count(df, 100) == 100     # clamped at saturation
-        # saturation below the per-partition row count still clamps
-        # (each task stops consuming at the cap; sum then re-clamps)
-        assert bounded_count(df.coalesce(1), 10) == 10
-        assert bounded_count(spark.range(0), 10) == 0
+        assert clamped_count(df, 5000) == 1000   # exact below saturation
+        assert clamped_count(df, 100) == 100     # clamped at saturation
+        # the count is a FULL distributed pass (see the docstring's
+        # cost profile); only the driver-side result is clamped
+        assert clamped_count(df.coalesce(1), 10) == 10
+        assert clamped_count(spark.range(0), 10) == 0
         # works on a derived frame (filter upstream of the probe)
-        assert bounded_count(df.filter("id < 7"), 100) == 7
+        assert clamped_count(df.filter("id < 7"), 100) == 7
 
 
 class TestSimilarity:
