@@ -640,6 +640,7 @@ def pack_sequences(
     eod: str = "<eod>",
     shard_salt: int = 7,
     n_rows: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents (with an
     ``eod`` separator token after each) and chunk the stream into
@@ -670,7 +671,16 @@ def pack_sequences(
     profile; always pass the hint when the row count is known from
     table metadata). Pass ``n_shards`` explicitly for bit-for-bit
     reproducible packing across corpora of different sizes (the
-    cross-engine oracle does)."""
+    cross-engine oracle does).
+
+    ``tokenizer=`` (a trained ``operators.tokenizer.BpeTokenizer``)
+    packs SUBWORD tokens instead of whitespace tokens — what a real
+    pretraining run needs. The tokenize step becomes the module's one
+    Arrow hop (``tokenizer.tokens_col``); sharding, offsets and the
+    single token shuffle are unchanged, and the packing stays
+    cross-engine reproducible because the merge-application convention
+    is SQL-replayable (see tokenizer module docstring and the
+    q_bpe_pack_parity oracle)."""
     from pyspark.sql.window import Window
 
     if seq_len < 1:
@@ -690,7 +700,10 @@ def pack_sequences(
         )
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    toks = F.split(F.col(text_col), " ")
+    if tokenizer is not None:
+        toks = tokenizer.tokens_col(text_col)
+    else:
+        toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.pmod(mix_ticket(id_col, shard_salt), F.lit(n_shards)).alias("shard"),
@@ -947,6 +960,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 50,
     overlap: int = 10,
+    tokenizer=None,
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap — the
     training-data chunking op. Pure JVM: tokenize → sequence of chunk
@@ -956,6 +970,11 @@ def chunk_documents(
     Output: (id, chunk_idx, chunk_text, n_chunk_tokens); stride =
     chunk_tokens - overlap; the last window may be shorter but is never
     empty; documents shorter than one window yield exactly one chunk.
+
+    ``tokenizer=`` (a trained ``operators.tokenizer.BpeTokenizer``)
+    makes the windows SUBWORD-token windows (one Arrow hop for the
+    tokenize; chunk_text is then the space-joined subword tokens —
+    reconstruct the surface text with ``tokenizer.decode`` if needed).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -968,8 +987,12 @@ def chunk_documents(
         F.greatest(F.size("__toks") - F.lit(overlap), F.lit(1)),
         F.lit(stride),
     )
+    tok_col = (
+        tokenizer.tokens_col(text_col) if tokenizer is not None
+        else tokens(text_col)
+    )
     return (
-        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        df.select(F.col(id_col), tok_col.alias("__toks"))
         .select(
             id_col,
             F.posexplode(starts).alias("chunk_idx", "__start"),
