@@ -208,6 +208,26 @@ def minhash_lsh_candidates(
             "(clamp(sqrt(n), 64, 4096); probe clamped at %d)",
             f">={n}" if n >= saturation else n, max_bucket, saturation,
         )
+    exploded = minhash_band_memberships(
+        df, id_col, text_col, k=k, num_perm=num_perm, bands=bands, mode=mode
+    )
+    return _pairs_from_memberships(exploded, max_bucket)
+
+
+def minhash_band_memberships(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    mode: str = "word",
+) -> DataFrame:
+    """(id, band, key) LSH band memberships — the unit the persisted
+    incremental index stores (16 narrow rows/doc beats re-running the
+    signature UDF over the corpus text on every new batch)."""
+    r = num_perm // bands
+    assert bands * r == num_perm, "bands must divide num_perm"
     sig_udf = _make_minhash_udf(num_perm, k, mode)
     sig = (
         df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
@@ -223,9 +243,15 @@ def minhash_lsh_candidates(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> struct(b as band, xxhash64(slice(sig, b * {r} + 1, {r})) as key))"
     )
-    exploded = sig.select(
+    return sig.select(
         "id", F.explode(band_keys).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _pairs_from_memberships(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    """Capped-bucket candidate pair generation from (id, band, key)
+    memberships — shared by the one-shot and incremental paths so the
+    hot-bucket discipline can never drift between them."""
     # membership is capped BEFORE any aggregation buffers it: row_number
     # over a (band, key) window keeps the max_bucket lowest ids — the
     # window's sort is disk-spillable (UnsafeExternalSorter), so a
@@ -690,3 +716,317 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted near-dup indexes — incremental dedup for a GROWING corpus
+# (round-5; the ivf_write_index discipline from operators/similarity.py
+# applied to MinHash/SimHash: dedup a NEW batch against an existing
+# corpus without recomputing the corpus side)
+# ---------------------------------------------------------------------------
+
+MINHASH_INDEX_FORMAT = "inxs_spark-minhash-index-v1"
+SIMHASH_INDEX_FORMAT = "inxs_spark-simhash-index-v1"
+
+
+def _write_index_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+
+
+def _read_index_meta(index_dir: str, expected_format: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != expected_format:
+        raise ValueError(
+            f"{index_dir} is {meta.get('format')!r}, expected {expected_format!r}"
+        )
+    return meta
+
+
+def minhash_write_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    mode: str = "word",
+) -> dict:
+    """Materialize the MinHash LSH index for a corpus:
+
+    * ``bands/``  — (id, band, key) memberships, partitioned by band:
+      the expensive part (one signature-UDF pass over the corpus
+      text), persisted so no future batch ever recomputes it.
+    * ``docs/``   — (id, text): the verify side. Exact-Jaccard
+      verification of a future candidate needs the OLD document's
+      shingles; storing text (smaller than shingle arrays) and
+      re-shingling only the candidate-pruned rows keeps incremental
+      verify cost ∝ candidates. This roughly doubles corpus storage —
+      the explicit price of O(batch) incremental dedup instead of
+      O(corpus) per batch.
+    * ``meta.json`` — parameters; a batch deduped against the index
+      MUST use the same (k, num_perm, bands, mode), enforced on read.
+
+    Returns {n_docs, n_memberships}. Ids must be unique; later
+    appended batches must use ids disjoint from the index."""
+    memb = minhash_band_memberships(
+        df, id_col, text_col, k=k, num_perm=num_perm, bands=bands, mode=mode
+    )
+    import os
+
+    memb.write.partitionBy("band").mode("overwrite").parquet(
+        os.path.join(index_dir, "bands")
+    )
+    df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+    spark = df.sparkSession
+    n_docs = spark.read.parquet(os.path.join(index_dir, "docs")).count()
+    n_memb = spark.read.parquet(os.path.join(index_dir, "bands")).count()
+    _write_index_meta(index_dir, {
+        "format": MINHASH_INDEX_FORMAT,
+        "k": k, "num_perm": num_perm, "bands": bands, "mode": mode,
+        "n_docs": n_docs,
+    })
+    return {"n_docs": n_docs, "n_memberships": n_memb}
+
+
+def minhash_dedup_pairs_incremental(
+    new_df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_bucket: int | None = None,
+    append: bool = True,
+    prune_verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an indexed corpus —
+    new-new AND new-old pairs, each verified by exact shingle Jaccard
+    — WITHOUT recomputing the corpus's signatures (the round-4 gap:
+    growing-corpus ingestion previously meant a full recompute of the
+    corpus side per batch).
+
+    Plan shape: one signature pass over the NEW batch only; the index
+    side is pruned to buckets the new batch touches via a semi-join of
+    the persisted (band, key) memberships against the new batch's
+    DISTINCT keys (band-partitioned parquet, digest-only exchange);
+    capped-bucket pair generation is the SHARED `_pairs_from_
+    memberships` (identical hot-bucket discipline as the one-shot
+    path) over old∪new memberships of touched buckets; pairs must
+    involve ≥1 new id; verify re-shingles only candidate docs (new
+    rows + semi-pruned index docs). Cost is O(batch + touched
+    buckets), never O(corpus).
+
+    Completeness vs a full recompute over the grown corpus: the pair
+    sets agree EXACTLY (test-pinned) whenever the hot-bucket cap does
+    not bind — pass the same explicit ``max_bucket``; ``None`` derives
+    it from the GROWN corpus size (meta n_docs + batch count), like
+    the one-shot path at that size. Where the cap binds, a new low-id
+    entering a full bucket can evict a higher old id the one-shot run
+    would also have evicted — around capped mega-buckets both paths
+    are (identically) lossy by design. Old-old pairs are NOT
+    re-emitted: they were produced when their batches were indexed.
+
+    ``append=True`` ships the new batch into the index afterwards
+    (memberships + docs appended, meta n_docs updated) so the next
+    batch sees it. Returns the verified pairs frame; release BOTH
+    caches it carries after your action: ``._candidate_pairs_cache``
+    (as minhash_dedup_pairs) and ``._batch_memberships_cache`` (the
+    batch's one signature pass, reused by the append write, the key
+    probe and the pair search)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    meta = _read_index_meta(index_dir, MINHASH_INDEX_FORMAT)
+    k, num_perm = meta["k"], meta["num_perm"]
+    bands, mode = meta["bands"], meta["mode"]
+    spark = new_df.sparkSession
+
+    new_memb = minhash_band_memberships(
+        new_df, id_col, text_col,
+        k=k, num_perm=num_perm, bands=bands, mode=mode,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE signature pass: this job populates the cache; every later
+    # consumer (append write, key probe, pair search) reads the cache
+    n_new = new_memb.select("id").distinct().count()
+    if append:
+        new_memb.write.partitionBy("band").mode("append").parquet(
+            os.path.join(index_dir, "bands")
+        )
+        new_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+        _write_index_meta(index_dir, {
+            **meta, "n_docs": meta["n_docs"] + n_new,
+        })
+    if max_bucket is None:
+        max_bucket = derive_max_bucket(meta["n_docs"] + n_new)
+
+    # old memberships pruned to buckets the batch touches; the index
+    # read is filtered by a digest-only semi-join on (band, key)
+    old_memb = spark.read.parquet(os.path.join(index_dir, "bands"))
+    if append:
+        # the appended files now contain the batch too — exclude it
+        # (the cached frame is the batch side) via anti-join on id
+        old_memb = old_memb.join(
+            new_memb.select("id").distinct(), "id", "left_anti"
+        )
+    new_keys = new_memb.select("band", "key").distinct()
+    touched = old_memb.join(new_keys, ["band", "key"], "left_semi")
+    memb = touched.select("id", "band", "key").unionByName(
+        new_memb.select("id", "band", "key")
+    )
+    pairs = _pairs_from_memberships(memb, max_bucket)
+
+    # keep only pairs that involve the new batch (old-old pairs in
+    # touched buckets were already emitted by earlier runs)
+    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    pairs = (
+        pairs
+        .join(new_ids.withColumnRenamed("__nid", "id_a")
+              .withColumn("__a_new", F.lit(1)), "id_a", "left")
+        .join(new_ids.withColumnRenamed("__nid", "id_b")
+              .withColumn("__b_new", F.lit(1)), "id_b", "left")
+        .filter(F.col("__a_new").isNotNull() | F.col("__b_new").isNotNull())
+        .drop("__a_new", "__b_new")
+    )
+
+    # verify corpus: the new batch plus the index docs (old side read
+    # pruned to candidate ids by jaccard_verify's semi-join when
+    # prune_verify is on)
+    old_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    if append:
+        # docs/ already contains the new batch after the append above
+        combined = old_docs
+    else:
+        combined = new_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).unionByName(old_docs)
+    out = jaccard_verify(
+        combined, pairs, id_col="id", text_col="text",
+        k=k, threshold=threshold, mode=mode,
+        prune_to_candidates=prune_verify,
+    )
+    out._batch_memberships_cache = new_memb
+    return out
+
+
+def simhash_write_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the SimHash index: just the (id, simhash) signature
+    table (16 bytes/doc) plus meta. Unlike MinHash, the combined-block
+    keys are NOT persisted: they are 100s of rows per doc but
+    regenerate from the tiny signature table as one JVM projection —
+    recomputing beats reading back a 495x-larger key table. Hamming
+    verification needs only the signatures, so no text is stored
+    either: the whole index is orders of magnitude smaller than the
+    corpus."""
+    import os
+
+    sigs = simhash(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    sigs.write.mode("overwrite").parquet(os.path.join(index_dir, "sigs"))
+    n = df.sparkSession.read.parquet(os.path.join(index_dir, "sigs")).count()
+    _write_index_meta(index_dir, {
+        "format": SIMHASH_INDEX_FORMAT, "n_docs": n,
+    })
+    return {"n_docs": n}
+
+
+def simhash_dup_pairs_incremental(
+    new_df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    append: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs of a new batch vs an indexed corpus:
+    one signature pass over the batch; the index side regenerates its
+    combined-block keys from the persisted signatures and is pruned
+    by semi-join to keys the batch emits; pairs must involve ≥1 new
+    id. Candidate recall vs a full recompute is EXACT (pigeonhole
+    keys are a pure function of the signature, and every new-old /
+    new-new key collision involves a new-side key by definition).
+
+    Release ``result._batch_sigs_cache`` after your action (the
+    batch's one signature pass, shared by the append write and the
+    pair search)."""
+    import os
+    from itertools import combinations
+
+    from pyspark import StorageLevel
+
+    meta = _read_index_meta(index_dir, SIMHASH_INDEX_FORMAT)
+    spark = new_df.sparkSession
+    new_sigs = simhash(new_df, id_col, text_col).withColumnRenamed(
+        id_col, "id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_new = new_sigs.count()  # ONE signature pass populates the cache
+    if append:
+        new_sigs.write.mode("append").parquet(
+            os.path.join(index_dir, "sigs")
+        )
+        _write_index_meta(index_dir, {
+            **meta, "n_docs": meta["n_docs"] + n_new,
+        })
+    old_sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    if append:
+        # appended files contain the batch too — the cached frame is
+        # the batch side; exclude it from the index side
+        old_sigs = old_sigs.join(
+            new_sigs.select("id"), "id", "left_anti"
+        )
+
+    if n_blocks is None:
+        n_blocks, q = derive_simhash_blocks(max_hamming)
+    else:
+        q = max(n_blocks - max_hamming, 1)
+    vals = _simhash_block_vals(n_blocks)
+    keys = F.array(*[
+        F.xxhash64(F.lit(t), *[vals[i] for i in combo])
+        for t, combo in enumerate(combinations(range(n_blocks), q))
+    ])
+    new_keyed = new_sigs.select(
+        "id", "simhash", F.explode(keys).alias("key")
+    )
+    old_keyed = old_sigs.select(
+        "id", "simhash", F.explode(keys).alias("key")
+    ).join(new_keyed.select("key").distinct(), "key", "left_semi")
+    keyed = new_keyed.unionByName(old_keyed)
+    new_ids = new_sigs.select(F.col("id").alias("id_a")).distinct()
+    a = new_keyed.select("key", F.col("id").alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    b = keyed.select("key", F.col("id").alias("id_b"),
+                     F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("sh_a"), F.col("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+    pairs._batch_sigs_cache = new_sigs
+    return pairs
