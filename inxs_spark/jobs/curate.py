@@ -149,7 +149,8 @@ def curate(
     # keeping this function's release-everything contract
     pairs = minhash_dedup_pairs(
         deduped, id_col=id_col, text_col=dd_col,
-        threshold=jaccard_threshold, prune_verify=True,
+        threshold=jaccard_threshold, prune_verify="auto",
+        corpus_n_rows=stats["after_exact_dedup"],
     )
     # component-correct: keep the min id of every CONNECTED near-dup
     # cluster (pairwise loser-dropping over-deletes on chains A~B~C);

@@ -183,7 +183,7 @@ def dedup_job(
         elif method == "minhash":
             pairs = minhash_dedup_pairs(
                 c0, id_col=id_col, text_col=dd_col, threshold=threshold,
-                prune_verify=True,
+                prune_verify="auto", corpus_n_rows=stats["input"],
             )
         else:  # simhash
             pairs = simhash_dup_pairs(

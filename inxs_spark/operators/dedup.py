@@ -300,6 +300,11 @@ def _pairs_from_memberships(exploded: DataFrame, max_bucket: int) -> DataFrame:
     return pairs
 
 
+#: below this corpus size the lazy verify plan wins: the semi-prune's
+#: extra joins cost more than just shingling a small corpus twice
+AUTO_PRUNE_MIN_CORPUS = 200_000
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
@@ -308,7 +313,9 @@ def jaccard_verify(
     k: int = 3,
     threshold: float = 0.7,
     mode: str = "word",
-    prune_to_candidates: bool = False,
+    prune_to_candidates: bool | str = False,
+    corpus_n_rows: int | None = None,
+    _prune_path_out: list | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs (JVM array set ops);
     keeps pairs ≥ threshold. The default builds a fully LAZY plan
@@ -329,14 +336,42 @@ def jaccard_verify(
     ``._candidate_pairs_cache`` so the caller can release it
     deterministically once its own action has run (curate()/the dedup
     job do — round-4 review findings on laziness, cache lifetime and
-    thread-safety of the previous module-global holder)."""
+    thread-safety of the previous module-global holder).
+
+    ``prune_to_candidates="auto"`` (the jobs-path default since round
+    5) makes the choice data-driven instead of always-eager (round-4
+    verdict task 4): the pair frame is persisted and counted either
+    way (that count is the materialization the eager path needed
+    anyway), then the corpus is semi-pruned ONLY when it is large
+    (``corpus_n_rows`` hint, or a clamped count probe) AND the
+    candidate ids are a small minority of it (8·n_pairs ≤ n) — below
+    either bound the lazy plan's two cheap corpus shingle passes beat
+    the prune's extra joins. The chosen path is surfaced via
+    ``_prune_path_out`` ("prune" / "lazy") for tests."""
     extra = ["max_dropped"] if "max_dropped" in pairs.columns else []
     pairs_cache = None
-    if prune_to_candidates:
+    if prune_to_candidates == "auto":
         from pyspark import StorageLevel
 
         pairs = pairs_cache = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        pairs.count()
+        n_pairs = pairs.count()
+        if corpus_n_rows is not None:
+            n = corpus_n_rows
+        else:
+            # saturation covers both decision terms, so the clamped
+            # probe yields the identical decision as an exact count
+            n = clamped_count(
+                df, max(AUTO_PRUNE_MIN_CORPUS, 8 * n_pairs) + 1
+            )
+        prune_to_candidates = (
+            n >= AUTO_PRUNE_MIN_CORPUS and 8 * n_pairs <= n
+        )
+    if prune_to_candidates:
+        from pyspark import StorageLevel
+
+        if pairs_cache is None:
+            pairs = pairs_cache = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+            pairs.count()
         cid = "__cand_id"
         while cid in df.columns:
             cid = "_" + cid
@@ -350,6 +385,8 @@ def jaccard_verify(
         )
     else:
         base = df
+    if _prune_path_out is not None:
+        _prune_path_out.append("prune" if prune_to_candidates else "lazy")
     sh = base.select(
         F.col(id_col).alias("id"), shingles(text_col, k, mode).alias("sh")
     )
@@ -376,18 +413,25 @@ def jaccard_verify(
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.7,
-                        prune_verify: bool = False,
+                        prune_verify: bool | str = False,
+                        corpus_n_rows: int | None = None,
+                        _prune_path_out: list | None = None,
                         **lsh_kwargs) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
     ``prune_verify=True`` is the eager jobs-path shape (see
     jaccard_verify): candidate pairs materialize at call time and the
     verify stage touches candidate documents only — callers must
-    release ``result._candidate_pairs_cache`` after their action."""
+    release ``result._candidate_pairs_cache`` after their action.
+    ``prune_verify="auto"`` decides prune-vs-lazy from the candidate
+    count and the corpus size (pass ``corpus_n_rows`` when known —
+    the jobs already count their input)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
     return jaccard_verify(df, cands, id_col, text_col,
                           k=lsh_kwargs.get("k", 3), threshold=threshold,
                           mode=lsh_kwargs.get("mode", "word"),
-                          prune_to_candidates=prune_verify)
+                          prune_to_candidates=prune_verify,
+                          corpus_n_rows=corpus_n_rows,
+                          _prune_path_out=_prune_path_out)
 
 
 # ---------------------------------------------------------------------------

@@ -246,3 +246,59 @@ class TestIncrementalDedupJob:
         with pytest.raises(ValueError, match="incremental"):
             dedup_job(df, str(tmp_path / "o"), method="exact",
                       index_dir=str(tmp_path / "i"))
+
+
+class TestAutoPruneVerify:
+    def test_auto_picks_lazy_on_small_corpus(self, spark):
+        """Below AUTO_PRUNE_MIN_CORPUS the lazy plan runs (no eager
+        corpus semi-prune), with identical output."""
+        from inxs_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = _mk_docs(spark, _corpus_rows())
+        path = []
+        auto = minhash_dedup_pairs(
+            docs, threshold=THRESH, max_bucket=10_000,
+            prune_verify="auto", corpus_n_rows=30,
+            _prune_path_out=path, **PARAMS,
+        )
+        got = _pairset(auto.collect())
+        _release(auto)
+        assert path == ["lazy"]
+        lazy = minhash_dedup_pairs(
+            docs, threshold=THRESH, max_bucket=10_000, **PARAMS
+        )
+        assert got == _pairset(lazy.collect())
+
+    def test_auto_picks_prune_on_large_corpus_hint(self, spark):
+        """A large corpus hint with few candidates flips to the prune
+        path (hint-driven — no probe job), same output."""
+        from inxs_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = _mk_docs(spark, _corpus_rows())
+        path = []
+        auto = minhash_dedup_pairs(
+            docs, threshold=THRESH, max_bucket=10_000,
+            prune_verify="auto", corpus_n_rows=1_000_000,
+            _prune_path_out=path, **PARAMS,
+        )
+        got = _pairset(auto.collect())
+        _release(auto)
+        assert path == ["prune"]
+        lazy = minhash_dedup_pairs(
+            docs, threshold=THRESH, max_bucket=10_000, **PARAMS
+        )
+        assert got == _pairset(lazy.collect())
+
+    def test_auto_probe_path_without_hint(self, spark):
+        """No hint: the clamped probe decides (small corpus -> lazy)."""
+        from inxs_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = _mk_docs(spark, _corpus_rows())
+        path = []
+        auto = minhash_dedup_pairs(
+            docs, threshold=THRESH, max_bucket=10_000,
+            prune_verify="auto", _prune_path_out=path, **PARAMS,
+        )
+        auto.collect()
+        _release(auto)
+        assert path == ["lazy"]
