@@ -4,7 +4,11 @@ against oracle_sql() via DuckDB — a local mimic of CORRECTNESS_r{N}.
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
 Set SPARK_GRAFT_EXTRAS=1 to also run extra_queries() (rows-only demo
-set — printed as ROWS lines, never compared)."""
+set — printed as ROWS lines, never compared).
+Set SPARK_GRAFT_EXTRAS_JSON=/path/EXTRAS_rN.json to persist the demo
+evidence (query -> rows, wall, err) as one committed artifact per
+round (round-4 verdict task 7: the "all demos execute" claim
+previously left no artifact)."""
 
 from __future__ import annotations
 
@@ -60,9 +64,14 @@ def main() -> int:
         )
 
     qs = dict(entrymod.queries())
-    if os.environ.get("SPARK_GRAFT_EXTRAS") == "1":
-        qs.update(entrymod.extra_queries())
+    extras_json = os.environ.get("SPARK_GRAFT_EXTRAS_JSON")
+    extra_names: set[str] = set()
+    if os.environ.get("SPARK_GRAFT_EXTRAS") == "1" or extras_json:
+        extras = entrymod.extra_queries()
+        extra_names = set(extras)
+        qs.update(extras)
     oracles = entrymod.oracle_sql()
+    extras_evidence: dict[str, dict] = {}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -75,8 +84,17 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
+            if name in extra_names:
+                extras_evidence[name] = {
+                    "rows": None, "wall_s": round(time.time() - t0, 2),
+                    "err": f"{type(exc).__name__}: {exc}"[:300],
+                }
             continue
         wall = time.time() - t0
+        if name in extra_names:
+            extras_evidence[name] = {
+                "rows": len(srows), "wall_s": round(wall, 2), "err": None,
+            }
         if name not in oracles:
             print(f"ROWS {name}: {len(srows)} rows, cols={scols} ({wall:.1f}s)")
             continue
@@ -103,6 +121,19 @@ def main() -> int:
         else:
             print(f"OK   {name}: {sn} rows match ({wall:.1f}s)")
     spark.stop()
+    if extras_json and extras_evidence:
+        import json
+
+        with open(extras_json, "w") as fh:
+            json.dump({
+                "sf_dir": sf_dir,
+                "n_demos": len(extras_evidence),
+                "n_errs": sum(
+                    1 for v in extras_evidence.values() if v["err"]
+                ),
+                "demos": dict(sorted(extras_evidence.items())),
+            }, fh, indent=1, sort_keys=False)
+        print(f"WROTE {extras_json}: {len(extras_evidence)} demos")
     return 1 if failures else 0
 
 
