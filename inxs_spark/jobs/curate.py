@@ -100,10 +100,10 @@ def curate(
         minhash_dedup_pairs,
     )
     from ..operators.text import (
-        language_id,
+        language_id_expr,
         normalize_expr,
         pii_scrub,
-        quality_score,
+        quality_score_expr,
     )
 
     lvl = StorageLevel.MEMORY_AND_DISK
@@ -173,11 +173,14 @@ def curate(
     deduped.unpersist()
 
     t = time.monotonic()
-    quality = quality_score(pruned, id_col, text_col).select(id_col, "quality")
-    lang = language_id(pruned, id_col, text_col).select(id_col, "lang_pred")
+    # quality and language are pure column expressions — attach them
+    # with withColumn instead of the two id-joins the frame helpers
+    # would force: at 2.4M docs those joins were two full shuffles of
+    # the text frame for zero semantic difference (round-5 scaling
+    # profile of this funnel)
     gated = (
-        pruned.join(quality, id_col)
-        .join(lang, id_col)
+        pruned.withColumn("quality", quality_score_expr(text_col))
+        .withColumn("lang_pred", language_id_expr(text_col))
         .filter(F.col("quality") >= min_quality)
     )
     if langs:

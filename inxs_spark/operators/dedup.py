@@ -521,6 +521,28 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    # empty edge set (clean corpus / clean batch — the COMMON case in
+    # production re-runs): skip the iteration machinery entirely. The
+    # edges are already materialized, so this probe is a metadata-cheap
+    # count over the checkpoint, and it saves ~4-7s of driver-round
+    # latency per funnel run (round-5 curation scaling profile)
+    if edges.isEmpty():
+        if _iters_out is not None:
+            _iters_out.append(0)
+        if metrics_dir is not None:
+            os.makedirs(metrics_dir, exist_ok=True)
+            rec = {
+                "op": "connected_components",
+                "rounds": 0,
+                "n_edges": 0,
+                "labels_changed_last_round": 0,
+                "converged": True,
+            }
+            tmp = os.path.join(metrics_dir, ".cc_metrics.json.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(json.dumps(rec) + "\n")
+            os.replace(tmp, os.path.join(metrics_dir, "cc_metrics.json"))
+        return labels
     rounds, changed = 0, 0
     for rounds in range(1, max_iters + 1):
         neighbor_min = (

@@ -56,9 +56,33 @@ def _stopword_hits(text_col: str, words: tuple) -> Column:
     ).cast("long")
 
 
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The blended [0,1] quality score as a bare COLUMN EXPRESSION —
+    use this (not the frame helper + a join) when attaching quality to
+    an existing frame: at 2.4M+ rows the id-join the frame form forces
+    costs a full shuffle that a withColumn avoids entirely (round-5
+    curate-funnel scaling profile)."""
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(tokens(text_col))
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")
+    )
+    stop_hits = _stopword_hits(text_col, STOPWORDS["en"])
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
+        4,
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features plus a
-    single blended score in [0,1]."""
+    single blended score in [0,1] (``quality`` ==
+    :func:`quality_score_expr`)."""
     n_chars = F.length(F.col(text_col))
     toks = tokens(text_col)
     n_tokens = F.size(toks)
@@ -69,12 +93,6 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     stop_hits = _stopword_hits(text_col, STOPWORDS["en"])
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
-    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    score = (
-        F.lit(0.5) * length_score
-        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
-        + F.lit(0.2) * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
-    )
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
@@ -82,8 +100,19 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.round(mean_tok_len, 3).alias("mean_token_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"),
+        quality_score_expr(text_col).alias("quality"),
     )
+
+
+def language_id_expr(text_col: str = "text") -> Column:
+    """The predicted-language label as a bare column expression (see
+    quality_score_expr for why the expression form exists)."""
+    hits = {lang: _stopword_hits(text_col, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # dict order fixed → deterministic tie-break
+        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
+    return lang_expr
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -91,12 +120,9 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     counts; 'und' (undetermined) when all are zero."""
     hits = {lang: _stopword_hits(text_col, words) for lang, words in STOPWORDS.items()}
     best = F.greatest(*hits.values())
-    lang_expr = F.when(best == 0, F.lit("und"))
-    for lang in STOPWORDS:  # dict order fixed → deterministic tie-break
-        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
     return df.select(
         F.col(id_col),
-        lang_expr.alias("lang_pred"),
+        language_id_expr(text_col).alias("lang_pred"),
         best.cast("long").alias("stopword_hits"),
     )
 

@@ -56,6 +56,13 @@ def ensure_docs(spark, n_docs: int) -> str:
             F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
             F.col("text"),
         )
+        # limit() collapses to ONE partition — written as-is that is a
+        # single parquet file (≈1 row group), capping every downstream
+        # SCAN at parallelism ~1 and silently flattening the very
+        # scaling curve this tool measures. Spread the cached input
+        # over 64 files so the timed runs' parallelism is the
+        # session's, not the file layout's.
+        .repartition(64)
         .write.mode("overwrite").parquet(path)
     )
     return path
