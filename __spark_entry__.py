@@ -2047,6 +2047,34 @@ def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE tokenizer demo over the real documents table: train
+    on a bounded sample, distributed-encode every document, report
+    per-doc subword counts and the whitespace-vs-subword compression.
+    Demo output only — the train+encode+pack path is FULLY oracled by
+    q_bpe_pack_parity's planted-corpus gate."""
+    from inxs_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = bpe_train(docs, num_merges=256, sample_docs=512)
+    enc = bpe_encode(docs, tok, ids=True)
+    ws = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("long").alias("n_words"),
+    )
+    return (
+        enc.join(ws, "doc_id")
+        .select(
+            "doc_id", "n_words",
+            F.col("n_tokens").alias("n_bpe_tokens"),
+            F.round(F.col("n_tokens") / F.greatest("n_words", F.lit(1)), 3)
+            .alias("bpe_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023) over the
     embeddings table: k-means cells → within-cell cosine pairs →
@@ -2203,6 +2231,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_domain_quota_sample": x_domain_quota_sample,
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
+        "x_bpe_tokenize": x_bpe_tokenize,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,

@@ -124,16 +124,24 @@ def main() -> int:
     if extras_json and extras_evidence:
         import json
 
+        # merge with an existing evidence file (a filtered re-run of
+        # one new demo must not clobber the other demos' records)
+        merged = dict(extras_evidence)
+        if os.path.exists(extras_json):
+            try:
+                with open(extras_json) as fh:
+                    prior = json.load(fh).get("demos", {})
+                merged = {**prior, **extras_evidence}
+            except Exception:
+                pass
         with open(extras_json, "w") as fh:
             json.dump({
                 "sf_dir": sf_dir,
-                "n_demos": len(extras_evidence),
-                "n_errs": sum(
-                    1 for v in extras_evidence.values() if v["err"]
-                ),
-                "demos": dict(sorted(extras_evidence.items())),
+                "n_demos": len(merged),
+                "n_errs": sum(1 for v in merged.values() if v["err"]),
+                "demos": dict(sorted(merged.items())),
             }, fh, indent=1, sort_keys=False)
-        print(f"WROTE {extras_json}: {len(extras_evidence)} demos")
+        print(f"WROTE {extras_json}: {len(merged)} demos")
     return 1 if failures else 0
 
 
