@@ -229,13 +229,19 @@ def minhash_band_memberships(
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
     sig_udf = _make_minhash_udf(num_perm, k, mode)
-    sig = (
-        df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
-        # exchange barrier: without it CollapseProject inlines the
-        # signature expression into the per-band lambda below and the
-        # signature computation re-runs once PER BAND. Shuffling the
-        # 8B*num_perm signature once is far cheaper than recomputing.
-        .repartition(F.col("id"))
+    # No exchange barrier here (rounds 2-4 repartitioned on id to stop
+    # the signature re-running once per band): on Spark 4's planner,
+    # ExtractPythonUDFs materializes the pandas UDF as ONE
+    # ArrowEvalPython node whose OUTPUT ATTRIBUTE the band expression
+    # references — the UDF cannot be inlined into the per-band lambda,
+    # so the signature computes exactly once per row with zero
+    # exchanges (plan pinned by test_memberships_single_udf_eval; the
+    # removed repartition was the funnel's largest shuffle, ~40% of
+    # the memberships wall at 1.2M docs — round-5 scaling profile).
+    # The JVM-expression variant (minhash_signature_expr) WOULD be
+    # inlined per band; that is one more reason it is not the default.
+    sig = df.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
     )
     # band key = hash of the band's slice of the signature; one
     # expression over the materialized sig column

@@ -302,3 +302,20 @@ class TestAutoPruneVerify:
         auto.collect()
         _release(auto)
         assert path == ["lazy"]
+
+
+class TestMembershipsPlan:
+    def test_memberships_single_udf_eval(self, spark):
+        """The signature pandas UDF must appear as EXACTLY ONE
+        ArrowEvalPython node with no exchange below the band explode —
+        the property the (now removed) repartition barrier used to
+        buy. If a future Spark version starts inlining the UDF into
+        the per-band lambda again, this pins the regression."""
+        from inxs_spark.operators.dedup import minhash_band_memberships
+
+        docs = _mk_docs(spark, _corpus_rows())
+        memb = minhash_band_memberships(docs)
+        plan = memb._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert plan.count("sig_udf") == 1, plan
+        assert "Exchange" not in plan, plan
