@@ -909,13 +909,23 @@ def minhash_dedup_pairs_incremental(
     are (identically) lossy by design. Old-old pairs are NOT
     re-emitted: they were produced when their batches were indexed.
 
-    ``append=True`` ships the new batch into the index afterwards
-    (memberships + docs appended, meta n_docs updated) so the next
-    batch sees it. Returns the verified pairs frame; release BOTH
-    caches it carries after your action: ``._candidate_pairs_cache``
-    (as minhash_dedup_pairs) and ``._batch_memberships_cache`` (the
-    batch's one signature pass, reused by the append write, the key
-    probe and the pair search)."""
+    ``append=True`` ships the new batch into the index AFTER the pair
+    search has materialized (append forces the eager verify path):
+    the index is only ever extended once this batch's pairs exist, so
+    a crash mid-run leaves the index untouched and a plain rerun is
+    correct — appending first would make the rerun see the batch as
+    already-indexed and silently emit none of its pairs. The meta
+    update is written last (the commit marker); a crash between the
+    parquet appends and the meta write leaves extra membership/doc
+    rows that a rerun re-appends — duplicate membership rows only add
+    redundant candidates, never lose pairs.
+
+    Cache contract: with ``append=True`` the returned frame is a
+    localCheckpoint — every working cache is already released, nothing
+    to manage. With ``append=False`` (lazy mode) release BOTH caches
+    after your action: ``._candidate_pairs_cache`` (as
+    minhash_dedup_pairs, when prune_verify ran eager) and
+    ``._batch_memberships_cache`` (the batch's one signature pass)."""
     import os
 
     from pyspark import StorageLevel
@@ -930,30 +940,16 @@ def minhash_dedup_pairs_incremental(
         k=k, num_perm=num_perm, bands=bands, mode=mode,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # ONE signature pass: this job populates the cache; every later
-    # consumer (append write, key probe, pair search) reads the cache
+    # consumer (key probe, pair search, append write) reads the cache
     n_new = new_memb.select("id").distinct().count()
-    if append:
-        new_memb.write.partitionBy("band").mode("append").parquet(
-            os.path.join(index_dir, "bands")
-        )
-        new_df.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
-        ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
-        _write_index_meta(index_dir, {
-            **meta, "n_docs": meta["n_docs"] + n_new,
-        })
     if max_bucket is None:
         max_bucket = derive_max_bucket(meta["n_docs"] + n_new)
 
     # old memberships pruned to buckets the batch touches; the index
-    # read is filtered by a digest-only semi-join on (band, key)
+    # read is filtered by a digest-only semi-join on (band, key).
+    # Read BEFORE any append so the index side never contains the
+    # batch (and the file listing is pinned pre-append).
     old_memb = spark.read.parquet(os.path.join(index_dir, "bands"))
-    if append:
-        # the appended files now contain the batch too — exclude it
-        # (the cached frame is the batch side) via anti-join on id
-        old_memb = old_memb.join(
-            new_memb.select("id").distinct(), "id", "left_anti"
-        )
     new_keys = new_memb.select("band", "key").distinct()
     touched = old_memb.join(new_keys, ["band", "key"], "left_semi")
     memb = touched.select("id", "band", "key").unionByName(
@@ -978,20 +974,46 @@ def minhash_dedup_pairs_incremental(
     # pruned to candidate ids by jaccard_verify's semi-join when
     # prune_verify is on)
     old_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    if append:
-        # docs/ already contains the new batch after the append above
-        combined = old_docs
-    else:
-        combined = new_df.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
-        ).unionByName(old_docs)
-    out = jaccard_verify(
+    # anti-join on batch ids: belt-and-braces against a file-listing
+    # refresh picking up this run's own doc append (which would put
+    # the batch in the verify corpus twice and duplicate pair rows)
+    old_docs = old_docs.join(
+        new_memb.select("id").distinct(), "id", "left_anti"
+    )
+    combined = new_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).unionByName(old_docs)
+    verified = jaccard_verify(
         combined, pairs, id_col="id", text_col="text",
         k=k, threshold=threshold, mode=mode,
-        prune_to_candidates=prune_verify,
+        prune_to_candidates=True if append else prune_verify,
     )
-    out._batch_memberships_cache = new_memb
-    return out
+    if not append:
+        verified._batch_memberships_cache = new_memb
+        return verified
+    # fully materialize the VERIFIED pairs (small by construction)
+    # before the index grows: the caller's later action re-plans
+    # against a REFRESHED parquet listing — candidate caching alone
+    # does not shield it (observed as every batch id self-pairing
+    # once its own membership append became visible). The checkpoint
+    # severs the lineage, so both working caches release right here
+    # and the returned frame carries nothing for the caller to manage.
+    out = out_ck = verified.localCheckpoint()
+    cache = getattr(verified, "_candidate_pairs_cache", None)
+    if cache is not None:
+        cache.unpersist()
+    new_memb.write.partitionBy("band").mode("append").parquet(
+        os.path.join(index_dir, "bands")
+    )
+    new_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+    # meta last: the commit marker (see docstring failure contract)
+    _write_index_meta(index_dir, {
+        **meta, "n_docs": meta["n_docs"] + n_new,
+    })
+    new_memb.unpersist()
+    return out_ck
 
 
 def simhash_write_index(
@@ -1036,9 +1058,14 @@ def simhash_dup_pairs_incremental(
     keys are a pure function of the signature, and every new-old /
     new-new key collision involves a new-side key by definition).
 
-    Release ``result._batch_sigs_cache`` after your action (the
-    batch's one signature pass, shared by the append write and the
-    pair search)."""
+    ``append=True`` materializes the pair set (localCheckpoint)
+    BEFORE touching the index — same crash contract as the MinHash
+    incremental: the index only grows once this batch's pairs exist,
+    and the meta write is the commit marker. With ``append=True`` the
+    returned frame is a localCheckpoint and every working cache is
+    already released; with ``append=False`` release
+    ``result._batch_sigs_cache`` after your action (the batch's one
+    signature pass)."""
     import os
     from itertools import combinations
 
@@ -1050,20 +1077,8 @@ def simhash_dup_pairs_incremental(
         id_col, "id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_new = new_sigs.count()  # ONE signature pass populates the cache
-    if append:
-        new_sigs.write.mode("append").parquet(
-            os.path.join(index_dir, "sigs")
-        )
-        _write_index_meta(index_dir, {
-            **meta, "n_docs": meta["n_docs"] + n_new,
-        })
+    # index side read BEFORE any append (listing pinned pre-append)
     old_sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
-    if append:
-        # appended files contain the batch too — the cached frame is
-        # the batch side; exclude it from the index side
-        old_sigs = old_sigs.join(
-            new_sigs.select("id"), "id", "left_anti"
-        )
 
     if n_blocks is None:
         n_blocks, q = derive_simhash_blocks(max_hamming)
@@ -1100,5 +1115,18 @@ def simhash_dup_pairs_incremental(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+    if append:
+        # materialize the pairs before the index grows (crash safety,
+        # see docstring); the pair set is small by construction, and
+        # the checkpoint lets the batch-sigs cache release right here
+        pairs = pairs.localCheckpoint()
+        new_sigs.write.mode("append").parquet(
+            os.path.join(index_dir, "sigs")
+        )
+        _write_index_meta(index_dir, {
+            **meta, "n_docs": meta["n_docs"] + n_new,
+        })
+        new_sigs.unpersist()
+        return pairs
     pairs._batch_sigs_cache = new_sigs
     return pairs
