@@ -294,6 +294,10 @@ def _pairs_from_memberships(exploded: DataFrame, max_bucket: int) -> DataFrame:
             F.col("bucket_size"),
         )
         .select(F.col("p.id_a"), F.col("p.id_b"), "bucket_size")
+        # duplicate membership rows for one id (e.g. a crash-replayed
+        # index append) would otherwise emit (x, x) self-pairs — they
+        # only ever add redundancy, never pairs, so drop them here
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").cast("long").alias("n_bands"),
@@ -881,6 +885,7 @@ def minhash_dedup_pairs_incremental(
     max_bucket: int | None = None,
     append: bool = True,
     prune_verify: bool = True,
+    append_tag: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an indexed corpus —
     new-new AND new-old pairs, each verified by exact shingle Jaccard
@@ -920,6 +925,18 @@ def minhash_dedup_pairs_incremental(
     rows that a rerun re-appends — duplicate membership rows only add
     redundant candidates, never lose pairs.
 
+    The index side ALWAYS excludes the batch's own ids (ids are
+    unique, so an id already present in the index can only be a prior
+    crashed append of this same batch): a replayed batch therefore
+    never dedups against its own indexed copy, whether the earlier
+    attempt committed fully or partially. ``append_tag`` makes the
+    append itself replay-safe: the tag is recorded in meta.json's
+    ``appended_tags`` in the SAME atomic write as the n_docs commit,
+    and a call whose tag is already recorded skips the appends (the
+    pair search still runs and returns correct pairs) — the
+    foreachBatch exactly-once ledger (see
+    streaming.streaming_minhash_dedup).
+
     Cache contract: with ``append=True`` the returned frame is a
     localCheckpoint — every working cache is already released, nothing
     to manage. With ``append=False`` (lazy mode) release BOTH caches
@@ -950,6 +967,11 @@ def minhash_dedup_pairs_incremental(
     # Read BEFORE any append so the index side never contains the
     # batch (and the file listing is pinned pre-append).
     old_memb = spark.read.parquet(os.path.join(index_dir, "bands"))
+    # self-exclusion (see docstring): the batch's own ids never count
+    # as index-side matches, so crash-replays are correct by default
+    old_memb = old_memb.join(
+        new_memb.select("id").distinct(), "id", "left_anti"
+    )
     new_keys = new_memb.select("band", "key").distinct()
     touched = old_memb.join(new_keys, ["band", "key"], "left_semi")
     memb = touched.select("id", "band", "key").unionByName(
@@ -983,12 +1005,17 @@ def minhash_dedup_pairs_incremental(
     combined = new_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).unionByName(old_docs)
+    already_appended = (
+        append_tag is not None
+        and append_tag in meta.get("appended_tags", [])
+    )
+    do_append = append and not already_appended
     verified = jaccard_verify(
         combined, pairs, id_col="id", text_col="text",
         k=k, threshold=threshold, mode=mode,
-        prune_to_candidates=True if append else prune_verify,
+        prune_to_candidates=True if do_append else prune_verify,
     )
-    if not append:
+    if not do_append:
         verified._batch_memberships_cache = new_memb
         return verified
     # fully materialize the VERIFIED pairs (small by construction)
@@ -1008,10 +1035,14 @@ def minhash_dedup_pairs_incremental(
     new_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
-    # meta last: the commit marker (see docstring failure contract)
-    _write_index_meta(index_dir, {
-        **meta, "n_docs": meta["n_docs"] + n_new,
-    })
+    # meta last: the commit marker (see docstring failure contract);
+    # the n_docs bump and the tag ledger commit in ONE atomic replace
+    new_meta = {**meta, "n_docs": meta["n_docs"] + n_new}
+    if append_tag is not None:
+        new_meta["appended_tags"] = list(
+            meta.get("appended_tags", [])
+        ) + [append_tag]
+    _write_index_meta(index_dir, new_meta)
     new_memb.unpersist()
     return out_ck
 

@@ -319,3 +319,84 @@ class TestMembershipsPlan:
         assert plan.count("ArrowEvalPython") == 1, plan
         assert plan.count("sig_udf") == 1, plan
         assert "Exchange" not in plan, plan
+
+
+class TestReplaySafety:
+    def test_append_tag_ledger_and_self_exclusion(self, spark, tmp_path):
+        """A replayed tagged append is a no-op on the index, and the
+        replayed pair search returns the SAME pairs because the batch's
+        own ids are excluded from the index side (never 'all dropped
+        as dups of their own indexed copy')."""
+        from inxs_spark.operators.dedup import (
+            _read_index_meta, MINHASH_INDEX_FORMAT,
+            minhash_dedup_pairs_incremental, minhash_write_index,
+        )
+
+        idx = str(tmp_path / "replay_idx")
+        minhash_write_index(_mk_docs(spark, _corpus_rows()), idx, **PARAMS)
+        batch = _mk_docs(spark, _batch_rows(100))
+        first = minhash_dedup_pairs_incremental(
+            batch, idx, threshold=THRESH, max_bucket=10_000,
+            append=True, append_tag="b7",
+        )
+        want = _pairset(first.collect())
+        meta1 = _read_index_meta(idx, MINHASH_INDEX_FORMAT)
+        assert meta1["n_docs"] == 45 and meta1["appended_tags"] == ["b7"]
+        n_memb1 = spark.read.parquet(idx + "/bands").count()
+
+        # replay: same batch, same tag — correct pairs, index unchanged
+        replay = minhash_dedup_pairs_incremental(
+            batch, idx, threshold=THRESH, max_bucket=10_000,
+            append=True, append_tag="b7",
+        )
+        got = _pairset(replay.collect())
+        _release(replay)
+        assert got == want
+        assert not [p for p in got if p[0] == p[1]]
+        assert _read_index_meta(idx, MINHASH_INDEX_FORMAT) == meta1
+        assert spark.read.parquet(idx + "/bands").count() == n_memb1
+
+    def test_streaming_minhash_dedup(self, spark, tmp_path):
+        """End-to-end streaming dedup against the persisted index:
+        two microbatches; indexed near-dups win; the index grows with
+        the batch ledger; the sink is batch_id-partitioned."""
+        from inxs_spark.operators.dedup import (
+            _read_index_meta, MINHASH_INDEX_FORMAT, minhash_write_index,
+        )
+        from inxs_spark.streaming.dedup_stream import streaming_minhash_dedup
+
+        idx = str(tmp_path / "stream_idx")
+        out = str(tmp_path / "stream_out")
+        inp = str(tmp_path / "stream_in")
+        minhash_write_index(_mk_docs(spark, _corpus_rows()), idx, **PARAMS)
+        fam = "the quick brown fox jumps over the lazy dog again and again"
+        # one file per microbatch (maxFilesPerTrigger=1)
+        _mk_docs(spark, [(100, fam), (101, "uniq a1 b1 c1 d1 e1 f1")]) \
+            .coalesce(1).write.parquet(inp + "/f1")
+        _mk_docs(spark, [(200, fam + " extra"),
+                         (201, "uniq a2 b2 c2 d2 e2 f2")]) \
+            .coalesce(1).write.parquet(inp + "/f2")
+        # flatten: the file-source reads a directory of parquet files
+        import glob
+        import shutil
+        os_files = sorted(glob.glob(inp + "/f*/part-*.parquet"))
+        for i, f in enumerate(os_files):
+            shutil.copy(f, inp + f"/docs{i}.parquet")
+        shutil.rmtree(inp + "/f1"); shutil.rmtree(inp + "/f2")
+
+        q = streaming_minhash_dedup(
+            spark, inp, out, idx, threshold=0.5,
+            max_files_per_trigger=1, available_now=True,
+        )
+        q.awaitTermination(180)
+        surv = spark.read.parquet(out + "/survivors")
+        ids = {r.doc_id for r in surv.collect()}
+        # fam dups of indexed docs are dropped; uniques survive
+        assert 101 in ids and 201 in ids
+        assert 100 not in ids and 200 not in ids
+        meta = _read_index_meta(idx, MINHASH_INDEX_FORMAT)
+        assert meta["n_docs"] == 34  # 30 + 2 + 2
+        assert sorted(meta["appended_tags"]) == ["b0", "b1"]
+        # evidence pairs exist and involve the batch ids
+        prs = spark.read.parquet(out + "/pairs").collect()
+        assert any({r.id_a, r.id_b} & {100, 200} for r in prs)
