@@ -222,3 +222,50 @@ def test_fused_main_content_equals_interpreter_on_corpus():
     finally:
         X.USE_FUSED_MAIN_CONTENT = True
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# trained-BPE tokenizer properties (round 5)
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(_words, st.integers(1, 9), min_size=1, max_size=30),
+    st.lists(_words, min_size=0, max_size=12),
+)
+def test_bpe_roundtrip_and_apply_equivalence(word_freqs, sample_words):
+    """For ANY corpus: (a) decode(encode(text)) == text for any text
+    over any words (trained or not); (b) the guarded apply equals the
+    plain one-pass-per-merge-in-rank-order convention the SQL oracle
+    replays; (c) token concatenation reconstructs word + EOW exactly
+    (no token is ever lost or invented)."""
+    from inxs_spark.operators.tokenizer import (
+        EOW, BpeTokenizer, apply_merges, bpe_train_serial,
+    )
+
+    merges = bpe_train_serial(word_freqs, num_merges=24, min_pair_freq=2)
+    tok = BpeTokenizer(merges, {c for w in word_freqs for c in w})
+    text = " ".join(sample_words)
+    assert tok.decode(tok.encode(text)) == " ".join(w for w in sample_words if w)
+
+    def naive(word):
+        syms = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for w in list(word_freqs) + sample_words:
+        got = apply_merges(w, merges)
+        assert got == naive(w), (w, got)
+        assert "".join(got) == w + EOW
