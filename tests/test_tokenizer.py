@@ -170,3 +170,65 @@ class TestDistributedBpe:
                for r in bpe_encode(df, tok, ids=True).collect()}
         for i, t in rows[:5]:
             assert got[i] == tok.encode_ids(t), i
+
+
+class TestTokenizeJob:
+    def test_train_then_frozen_encode(self, spark, tmp_path):
+        """jobs.tokenize: train+encode writes the model and encoded
+        parquet; a second run with --model encodes a new batch with
+        the FROZEN model (identical segmentation, no retraining)."""
+        from inxs_spark.jobs.tokenize import tokenize_job
+        from inxs_spark.operators.tokenizer import BpeTokenizer
+
+        rows = [(i, " ".join(
+            ["low", "lower", "lowest", "newest", "widest"][(i + j) % 5]
+            for j in range(8))) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out1 = str(tmp_path / "tok1")
+        s1 = tokenize_job(df, out1, num_merges=20, sample_docs=40,
+                          max_words=100)
+        assert s1["trained"] and s1["n_docs"] == 40
+        assert s1["n_merges"] > 0 and s1["vocab_size"] > s1["n_merges"]
+        tok = BpeTokenizer.load(s1["model_path"])
+        got = {r.doc_id: list(r.tokens)
+               for r in spark.read.parquet(s1["output_path"]).collect()}
+        assert got[0] == tok.encode(rows[0][1])
+
+        batch = spark.createDataFrame(
+            [(100, "lowest newest"), (101, "low low low")],
+            "doc_id long, text string",
+        )
+        out2 = str(tmp_path / "tok2")
+        s2 = tokenize_job(batch, out2, model_path=s1["model_path"])
+        assert not s2["trained"] and s2["model_path"] == s1["model_path"]
+        enc2 = {r.doc_id: list(r.tokens)
+                for r in spark.read.parquet(s2["output_path"]).collect()}
+        assert enc2[100] == tok.encode("lowest newest")
+
+    def test_cli_roundtrip(self, spark, tmp_path):
+        """The module CLI end-to-end with --ids (separate session via
+        subprocess would be slow; drive main() in-process the way the
+        other job CLI tests do is not possible since it builds its own
+        session — use a subprocess with a tiny input)."""
+        import json as _json
+        import subprocess
+        import sys
+
+        inp = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, "aa ab aa ab"), (2, "ab aa ab aa")],
+            "doc_id long, text string",
+        ).write.parquet(inp)
+        out = str(tmp_path / "cli_out")
+        proc = subprocess.run(
+            [sys.executable, "-m", "inxs_spark.jobs.tokenize",
+             "--input", inp, "--out", out, "--num-merges", "5",
+             "--ids", "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        stats = _json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats["n_docs"] == 2 and stats["n_tokens"] > 0
+        enc = spark.read.parquet(out + "/encoded").collect()
+        assert all(isinstance(t, int) for r in enc for t in r.tokens)
