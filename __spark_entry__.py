@@ -2197,6 +2197,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-corpus near-dup dedup against the persisted MinHash
+    index (the round-5 incremental path): 80% of documents are
+    indexed as the standing corpus, the remaining 20% arrive as a new
+    batch and are deduped with ONE signature pass over the batch —
+    the corpus side is read from its persisted (id, band, key)
+    memberships, never recomputed. Returns the verified new-new +
+    new-old pairs. Rows-only demo: the incremental-equals-full-
+    recompute property is pinned by tests/test_incremental_index.py,
+    and the underlying LSH+verify path is oracled by
+    q_minhash_dup_pairs."""
+    import shutil
+    import tempfile
+
+    from inxs_spark.operators.dedup import (
+        minhash_dedup_pairs_incremental,
+        minhash_write_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index_dir = tempfile.mkdtemp(prefix="inxs_demo_mhidx_")
+    try:
+        minhash_write_index(corpus, index_dir, num_perm=32, bands=8)
+        # append=True exercises the crash-safe append path too; the
+        # returned frame is a localCheckpoint, so the index dir can
+        # be deleted before the caller's action
+        pairs = minhash_dedup_pairs_incremental(
+            batch, index_dir, threshold=0.5, append=True
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Raw-output demo queries (full extraction frames, approximate
     pair sets, sketch values, per-item media features). Every
@@ -2232,6 +2268,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pdf_layout_extract": x_pdf_layout_extract,
         "x_media_features": x_media_features,
         "x_bpe_tokenize": x_bpe_tokenize,
+        "x_incremental_dedup": x_incremental_dedup,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,

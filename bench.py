@@ -19,7 +19,7 @@ levels): extraction runs at local[4] and local[16] (N=4, 4N=16 — both
 within physical cores; the 8→32 pair crosses the SMT boundary where
 even raw multiprocessing only reaches ~0.73). This box also has
 co-tenant load with >2x run-to-run variance, so each level runs
-SPARK_GRAFT_SCALE_REPS (3) interleaved warm reps, each behind a
+SPARK_GRAFT_SCALE_REPS (4) interleaved warm reps, each behind a
 BOUNDED loadavg precondition (wait up to SPARK_GRAFT_SCALE_LOAD_WAIT_S
 for 1-min load < SPARK_GRAFT_SCALE_LOAD_GATE), and the per-level
 MINIMUM is used; per-rep loadavg + wait are recorded next to the
@@ -46,7 +46,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
 # loadavg precondition for scaling reps (round-3 verdict task 5): the
 # box carries co-tenant load with >2x run-to-run variance, and the
 # driver-visible scaling number landed in loaded windows two rounds
@@ -228,6 +228,14 @@ def main() -> None:
         boot2 = build_session(CPUS)
         spath = ensure_transcripts(boot2, "scale")
         s_turns = boot2.read.parquet(spath).count()
+        # page-cache warm: parquet count() reads only footers, so
+        # without this the FIRST timed rep pays the cold disk read of
+        # the text payload (~25% inflation observed) — a one-time cost
+        # that belongs to neither parallelism level. Full-payload
+        # length-sum at full cores reads every byte once, cheaply.
+        from pyspark.sql import functions as _F
+
+        boot2.read.parquet(spath).agg(_F.sum(_F.length("text"))).collect()
         boot2.stop()
         n_low, n_high = SCALE_N, SCALE_N * 4
         walls: dict[int, list[float]] = {n_low: [], n_high: []}
