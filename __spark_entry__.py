@@ -2233,6 +2233,69 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) over the
+    embeddings table: bounded-sample sub-codebook training (m=8
+    subspaces × k=16 codes → 8 small codes per 64-dim vector, ~3% of
+    the embedding bytes at the scan), JVM-side ADC scoring from two
+    m×k lookup tables, then the standard exact-cosine rerank of the
+    shortlist. Returns the reranked top-10 for a corpus vector as
+    query. Demo — encode parity (expr==udf==serial numpy), ADC
+    JVM-only plan, and index round-trip are pinned by
+    tests/test_operators.py::TestPQ; the exact-cosine rerank side is
+    oracled by q_cosine_topk."""
+    from inxs_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_reranked,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb)
+    books = pq_train_codebooks(emb, dim=dim, m=8, k=16)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    base = emb.filter(F.col("vec_id") != 0)
+    return pq_topk_reranked(
+        base, books, qvec, k=10, shortlist=64,
+        codes_df=pq_encode(base, books),
+    )
+
+
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (CCNet-style distillation): learn a
+    6-feature logistic model on a bounded hash-ordered sample with
+    language=='en' as the weak label, then score the WHOLE documents
+    table with the distilled pure-JVM expression. Returns the decile
+    calibration table (score bucket → docs, observed en-rate) — a
+    well-trained model's en-rate rises monotonically-ish with the
+    bucket. Demo — determinism, held-out separation, JVM-only plan,
+    and <1e-9 DuckDB re-scoring parity are pinned by
+    tests/test_classify.py."""
+    from inxs_spark.operators.classify import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    model = train_quality_classifier(docs, "is_en", max_sample=256)
+    scored = quality_classifier_scores(docs, model).join(
+        docs.select("doc_id", "is_en"), "doc_id"
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("quality_prob") * 10), F.lit(9))
+            .cast("int").alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("is_en"), 4).alias("en_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Raw-output demo queries (full extraction frames, approximate
     pair sets, sketch values, per-item media features). Every
@@ -2269,6 +2332,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_features": x_media_features,
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_incremental_dedup": x_incremental_dedup,
+        "x_pq_topk": x_pq_topk,
+        "x_quality_classifier": x_quality_classifier,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,

@@ -549,3 +549,274 @@ def semantic_dedup(
     survivors = dedup_keep_one_per_cluster(df, pairs, id_col)
     assigned.unpersist()
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou, Douze, Schmid 2011, "Product
+# quantization for nearest neighbor search" (public paper; the
+# FAISS-PQ shape on DataFrames)
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_sample: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ sub-codebooks: split each vector into ``m`` contiguous
+    subvectors of ``dim // m`` dims and Lloyd-k-means each subspace
+    independently to ``k`` centroids. Returns ``(m, k, dim // m)``.
+
+    Training follows the ``ivf_train_centroids`` discipline exactly:
+    a bounded deterministic hash-ordered sample (TakeOrdered on
+    xxhash64 of the vector — position-independent, never a corpus
+    prefix), so cost is O(max_sample) regardless of corpus size. Only
+    :func:`pq_encode` touches every row.
+
+    Why PQ at 100 TB: an encoded row is ``m`` small codes instead of
+    ``dim`` floats — at the defaults (m=8) a 64-dim float32 embedding
+    column shrinks 256 B → 8 B before parquet dictionary coding, so
+    the serving scan reads ~3% of the embedding bytes and the ADC
+    scoring below stays whole-stage-codegen JVM."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)))
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[1] != dim:
+        raise ValueError(f"sampled vectors are not uniformly {dim}-dim")
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(k, len(X)), sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        cents = Xj[rng.choice(len(Xj), size=books.shape[1], replace=False)]
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = Xj[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_code_expr(vec_col: str, codebooks: np.ndarray) -> Column:
+    """Per-subspace argmin, JVM-side: same dot-minus-half-norm argmax
+    trick as :func:`_cell_expr`, over ``slice()``s of the vector."""
+    m, k, sub = codebooks.shape
+    v = F.col(vec_col).cast("array<double>")
+    cells = []
+    for j in range(m):
+        vj = F.slice(v, j * sub + 1, sub)
+        scores = F.array(*[
+            dot(vj, _lit_vec(c)) - F.lit(float(np.dot(c, c)) / 2.0)
+            for c in codebooks[j]
+        ])
+        cells.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    code = F.array(*cells)
+    return F.when(
+        v.isNotNull() & (F.size(v) == m * sub), code
+    ).otherwise(F.lit(None).cast("array<int>"))
+
+
+def _pq_code_udf(codebooks: np.ndarray):
+    """Vectorized encode for production dims where the literal tree is
+    codegen-hostile: one (batch x sub) @ (sub x k) matmul per subspace
+    per Arrow batch."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, sub = C.shape
+    half_norms = 0.5 * (C * C).sum(axis=2)  # (m, k)
+    dim = m * sub
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def code(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64).reshape(m, sub)
+            # scores[j, c] = dot(x_j, C[j,c]) - |C[j,c]|^2 / 2
+            scores = np.einsum("js,jcs->jc", x, C) - half_norms
+            out.append([int(c) for c in scores.argmax(axis=1)])
+        return pd.Series(out, dtype=object)
+
+    return code
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-sub-centroid codes:
+    ``(id, pq_code array<int>)``. Auto-selects the codegen expression
+    below ``_LITERAL_BUDGET`` total codebook literals and the
+    vectorized matmul UDF above it (same plumbing as ``ivf_assign``).
+    Narrow output on purpose — the codes table IS the index; the
+    embedding column never travels with it."""
+    if codebooks.size > _LITERAL_BUDGET:
+        code = _pq_code_udf(codebooks)(F.col(vec_col))
+    else:
+        code = _pq_code_expr(vec_col, codebooks)
+    return df.select(F.col(id_col), code.alias("pq_code"))
+
+
+def pq_write_index(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index: the codes table as parquet plus the
+    codebooks as JSON alongside (tiny: m*k*sub doubles). Queries then
+    read ONLY ``(id, pq_code)`` — at 100 TB that is the difference
+    between scanning the corpus's embedding bytes and scanning ~3% of
+    them. Codebooks are written LAST as the commit marker (a partial
+    codes write without codebooks.json is unreadable, not wrong)."""
+    import json
+    import os
+
+    pq_encode(df, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    meta = {
+        "m": int(codebooks.shape[0]),
+        "k": int(codebooks.shape[1]),
+        "sub": int(codebooks.shape[2]),
+        "codebooks": codebooks.tolist(),
+    }
+    tmp = os.path.join(path, "codebooks.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "codebooks.json"))
+
+
+def pq_read_codebooks(path: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(path, "codebooks.json")) as fh:
+        meta = json.load(fh)
+    return np.asarray(meta["codebooks"], dtype=np.float64).reshape(
+        meta["m"], meta["k"], meta["sub"]
+    )
+
+
+def _pq_lut_term(code_col: str, lut: np.ndarray, j: int) -> Column:
+    """lut[j][code[j]] as a JVM expression (array-literal lookup)."""
+    return F.element_at(
+        F.array(*[F.lit(float(x)) for x in lut[j]]),
+        F.element_at(F.col(code_col), j + 1) + F.lit(1),
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate cosine top-k over a PQ
+    codes table, entirely JVM-side: the driver precomputes two tiny
+    per-subspace lookup tables from the query (inner products and
+    centroid norms, m x k doubles each), and every row's score is a
+    sum of ``m`` array-literal lookups —
+
+        approx_cos = sum_j ip[j][code_j]
+                     / (|q| * sqrt(sum_j nrm[j][code_j]))
+
+    i.e. cosine between the query and the row's RECONSTRUCTED vector,
+    without ever reconstructing it. One scan of (id, code), a narrow
+    TakeOrdered, zero Python and zero shuffle — the 100 TB serving
+    shape. Ties broken by id for determinism."""
+    m, kk, sub = codebooks.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * sub}")
+    qn = float(np.sqrt(np.dot(q, q)))
+    ip = np.array([
+        codebooks[j] @ q[j * sub:(j + 1) * sub] for j in range(m)
+    ])  # (m, k) query-subvector inner products
+    nrm = (codebooks * codebooks).sum(axis=2)  # (m, k) centroid sq-norms
+    ip_sum = sum(
+        (_pq_lut_term(code_col, ip, j) for j in range(1, m)),
+        _pq_lut_term(code_col, ip, 0),
+    )
+    nrm_sum = sum(
+        (_pq_lut_term(code_col, nrm, j) for j in range(1, m)),
+        _pq_lut_term(code_col, nrm, 0),
+    )
+    score = F.when(
+        nrm_sum > 0, ip_sum / (F.lit(qn) * F.sqrt(nrm_sum))
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        codes_df.filter(
+            F.col(code_col).isNotNull() & (F.size(F.col(code_col)) == m)
+        )
+        .select(F.col(id_col), score.alias("approx_cos"))
+        .orderBy(F.desc("approx_cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a materialized PQ index (:func:`pq_write_index`):
+    read codebooks.json, scan only the codes parquet."""
+    import os
+
+    books = pq_read_codebooks(path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return pq_topk(codes, books, query_vec, k, id_col)
+
+
+def pq_topk_reranked(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """PQ shortlist + exact rerank — the standard two-stage serving
+    recipe: ADC ranks a ``shortlist`` of candidates from the codes
+    (cheap, JVM, codes-only scan), then ONLY those ids are joined back
+    to the full vectors for exact cosine. The shortlist is tiny by
+    construction, so the rerank join broadcasts it; the expensive
+    embedding column is read for ``shortlist`` rows, not the corpus.
+    Recall ≥ the raw ADC top-k by construction (superset shortlist,
+    exact final order)."""
+    from pyspark.sql.functions import broadcast
+
+    codes = codes_df if codes_df is not None else pq_encode(
+        df, codebooks, id_col, vec_col
+    )
+    short = pq_topk(codes, codebooks, query_vec, max(k, shortlist), id_col)
+    cands = df.join(broadcast(short.select(id_col)), id_col)
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -1654,3 +1654,162 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=5, overlap=5)
+
+
+class TestPQ:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        """Same 3-gaussian 8-d corpus shape as TestIVF — PQ's recall
+        home turf (cluster structure survives subspace quantization)."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        centers = np.array([[10, 0, 0, 0, 0, 0, 0, 0],
+                            [0, 10, 0, 0, 0, 0, 0, 0],
+                            [0, 0, 10, 0, 0, 0, 0, 0]], dtype=float)
+        rows = []
+        for i in range(240):
+            c = centers[i % 3] + rng.standard_normal(8) * 0.5
+            rows.append((i, [float(x) for x in c]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_codebooks_deterministic_and_shaped(self, spark, clustered):
+        import numpy as np
+
+        from inxs_spark.operators.similarity import pq_train_codebooks
+
+        a = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        b = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        assert a.shape == (4, 8, 2)
+        assert np.array_equal(a, b)
+
+    def test_encode_expr_matches_udf_and_serial(self, spark, clustered):
+        """The auto-switch at _LITERAL_BUDGET must not change codes:
+        codegen-expression path == vectorized-matmul path == a serial
+        numpy re-derivation on the driver."""
+        import numpy as np
+
+        from inxs_spark.operators.similarity import (
+            _pq_code_udf,
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        books = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        expr_codes = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode(clustered, books).collect()
+        }
+        udf_codes = {
+            r.vec_id: list(r.c) for r in clustered.select(
+                "vec_id", _pq_code_udf(books)(F.col("embedding")).alias("c")
+            ).collect()
+        }
+        assert expr_codes == udf_codes
+        m, k, sub = books.shape
+        for r in clustered.collect():
+            x = np.asarray(r.embedding).reshape(m, sub)
+            d2 = ((x[:, None, :] - books) ** 2).sum(axis=2)
+            assert list(d2.argmin(axis=1)) == expr_codes[r.vec_id], r.vec_id
+
+    def test_null_and_wrong_dim_rows_get_null_codes(self, spark):
+        from inxs_spark.operators.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+            pq_topk,
+        )
+
+        good = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        books = pq_train_codebooks(good, dim=4, m=2, k=4)
+        bad = spark.createDataFrame(
+            [(100, None), (101, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        codes = pq_encode(good.unionByName(bad), books)
+        got = {r.vec_id: r.pq_code for r in codes.collect()}
+        assert got[100] is None and got[101] is None
+        top = pq_topk(codes, books, [1.0, 1.0, 0.0, 2.0], k=50)
+        ids = [r.vec_id for r in top.collect()]
+        assert 100 not in ids and 101 not in ids
+
+    def test_adc_topk_and_rerank_recall(self, spark, clustered):
+        """Raw ADC top-10 lands in the query's cluster and overlaps
+        the exact top-10; the reranked two-stage recipe recovers the
+        exact top-10 outright (superset shortlist + exact rerank)."""
+        from inxs_spark.operators.similarity import (
+            cosine_topk,
+            pq_topk,
+            pq_topk_reranked,
+            pq_train_codebooks,
+            pq_encode,
+        )
+
+        q = [10.0, 0.5, -0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+        books = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        brute = [r.vec_id for r in cosine_topk(clustered, q, k=10).collect()]
+        codes = pq_encode(clustered, books)
+        raw = [r.vec_id for r in pq_topk(codes, books, q, k=10).collect()]
+        # every ADC hit is in the query's true cluster (vec_id % 3 == 0)
+        assert all(i % 3 == 0 for i in raw), raw
+        assert len(set(raw) & set(brute)) >= 5, (raw, brute)
+        rer = [r.vec_id for r in pq_topk_reranked(
+            clustered, books, q, k=10, shortlist=60, codes_df=codes
+        ).collect()]
+        assert set(rer) == set(brute), (rer, brute)
+
+    def test_adc_scoring_is_jvm_side(self, spark, clustered):
+        """ADC over a codes table must plan as pure expressions — no
+        Python/Arrow eval node (the 100 TB serving path)."""
+        from inxs_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train_codebooks,
+        )
+
+        books = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        codes = spark.createDataFrame(
+            [(r.vec_id, list(r.pq_code))
+             for r in pq_encode(clustered, books).collect()],
+            "vec_id long, pq_code array<int>",
+        )
+        plan = pq_topk(codes, books, [10.0] + [0.0] * 7, k=5)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan, plan
+
+    def test_index_roundtrip_scans_codes_only(self, spark, clustered, tmp_path):
+        """pq_write_index → pq_topk_indexed returns exactly the inline
+        result, reads only (vec_id, pq_code), and round-trips the
+        codebooks bit-exactly."""
+        import numpy as np
+
+        from inxs_spark.operators.similarity import (
+            pq_encode,
+            pq_read_codebooks,
+            pq_topk,
+            pq_topk_indexed,
+            pq_train_codebooks,
+            pq_write_index,
+        )
+
+        books = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        idx = str(tmp_path / "pq_index")
+        pq_write_index(clustered, books, idx)
+        assert np.array_equal(pq_read_codebooks(idx), books)
+        q = [0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.5, 0.0]
+        got = pq_topk_indexed(spark, idx, q, k=7)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan and "embedding" not in plan, plan
+        inline = pq_topk(pq_encode(clustered, books), books, q, k=7)
+        assert [tuple(r) for r in got.collect()] == \
+               [tuple(r) for r in inline.collect()]
+
+    def test_dim_not_divisible_rejected(self, spark, clustered):
+        import pytest as _pytest
+
+        from inxs_spark.operators.similarity import pq_train_codebooks
+
+        with _pytest.raises(ValueError):
+            pq_train_codebooks(clustered, dim=8, m=3, k=4)
