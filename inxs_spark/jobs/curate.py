@@ -71,6 +71,7 @@ def curate(
     text_col: str = "text",
     jaccard_threshold: float = 0.85,
     min_quality: float = 0.3,
+    quality_model=None,
     langs: tuple[str, ...] | None = None,
     quota_per_lang: int | None = None,
     normalize: bool = True,
@@ -85,6 +86,13 @@ def curate(
     byte-level noise can't defeat fingerprinting — mixed-case or
     unicode-variant duplicates collapse; the surviving rows keep their
     ORIGINAL text.
+
+    ``quality_model=`` (an ``operators.classify.QualityClassifier``)
+    swaps the heuristic quality gate for the trained model's
+    probability — ``min_quality`` then thresholds P(good) instead of
+    the blended heuristic score. Still a pure column expression, so
+    the gate stays a codegen projection either way; defaults are
+    unchanged (the curation-parity oracle pins the heuristic path).
 
     ``out=`` writes the curated parquet here (the write is a cache
     read) and releases every cache before returning. ``metrics_out=``
@@ -178,8 +186,12 @@ def curate(
     # would force: at 2.4M docs those joins were two full shuffles of
     # the text frame for zero semantic difference (round-5 scaling
     # profile of this funnel)
+    q_expr = (
+        quality_model.score_expr(text_col)
+        if quality_model is not None else quality_score_expr(text_col)
+    )
     gated = (
-        pruned.withColumn("quality", quality_score_expr(text_col))
+        pruned.withColumn("quality", q_expr)
         .withColumn("lang_pred", language_id_expr(text_col))
         .filter(F.col("quality") >= min_quality)
     )
@@ -298,6 +310,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--master", default="local[*]")
     parser.add_argument("--jaccard", type=float, default=0.85)
     parser.add_argument("--min-quality", type=float, default=0.3)
+    parser.add_argument("--classifier-json", default=None,
+                        help="trained QualityClassifier JSON; the quality "
+                             "gate then thresholds its P(good)")
     parser.add_argument("--langs", default=None,
                         help="comma-separated language allowlist")
     parser.add_argument("--quota", type=int, default=None,
@@ -310,10 +325,17 @@ def main(argv: list[str] | None = None) -> int:
     try:
         df = spark.read.parquet(args.input)
         out_dir = os.path.join(args.out, "curated")
+        model = None
+        if args.classifier_json:
+            from ..operators.classify import QualityClassifier
+
+            with open(args.classifier_json) as fh:
+                model = QualityClassifier.from_json(fh.read())
         _curated, stats = curate(
             df,
             jaccard_threshold=args.jaccard,
             min_quality=args.min_quality,
+            quality_model=model,
             langs=tuple(args.langs.split(",")) if args.langs else None,
             quota_per_lang=args.quota,
             out=out_dir,

@@ -17,10 +17,17 @@ def _planted_corpus(spark, n=400):
         if i % 2 == 0:
             words = []
             for j in range(30 + i % 17):
-                words.append(
-                    ["the", "cat", "sat", "and", "dog", "ran", "to",
-                     "house", "it", "was", "warm", "in", "sun"][(i + j) % 13]
-                )
+                # every 3rd word is doc-unique so prose docs are NOT
+                # near-duplicates of each other (pairwise Jaccard well
+                # under curate()'s 0.85 default — the corpus must
+                # exercise the quality gate, not collapse at dedup)
+                if j % 3 == 2:
+                    words.append(f"tale{i}part{j}")
+                else:
+                    words.append(
+                        ["the", "cat", "sat", "and", "dog", "ran", "to",
+                         "house", "it", "was", "warm", "in", "sun"][(i + j) % 13]
+                    )
             text = " ".join(words) + "."
             rows.append((i, text, 1))
         else:
@@ -126,3 +133,22 @@ class TestQualityClassifier:
         a = train_quality_classifier(corpus, "label", max_sample=200)
         b = train_quality_classifier(shuffled, "label", max_sample=200)
         assert a == b
+
+    def test_curate_with_trained_model_gate(self, spark, corpus, model):
+        """curate(quality_model=...) swaps the heuristic gate for the
+        trained probability: junk documents (label 0) are filtered at
+        the quality stage, prose survives, and the stage attrition is
+        recorded. The gate must stay a pure column expression."""
+        from inxs_spark.jobs.curate import curate
+
+        small = corpus.filter(F.col("doc_id") < 80).select("doc_id", "text")
+        curated, stats = curate(
+            small, min_quality=0.5, quality_model=model, normalize=False
+        )
+        kept = {r.doc_id for r in curated.select("doc_id").collect()}
+        spark.catalog.clearCache()
+        assert stats["input"] == 80
+        # every survivor is prose (even id); every prose doc survives
+        # (the planted modes are linearly separable at 0.5)
+        assert kept == {i for i in range(80) if i % 2 == 0}, kept
+        assert stats["after_quality_lang_gate"] == 40
