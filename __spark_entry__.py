@@ -2261,6 +2261,41 @@ def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (the FAISS-IVFPQ shape): one pass writes
+    cell-partitioned PQ codes; the query scans nprobe/n_cells of an
+    8-int-per-row table with JVM-side ADC, then exact-reranks the
+    shortlist against the full vectors. Demo — partition pruning,
+    inline equality and rerank recall are pinned by
+    tests/test_operators.py::TestIVFPQ; throughput/footprint evidence
+    in BENCH.md (1M-vector capture)."""
+    import shutil
+    import tempfile
+
+    from inxs_spark.operators.similarity import (
+        ivf_train_centroids,
+        ivfpq_topk,
+        ivfpq_write_index,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb)
+    cents = ivf_train_centroids(emb, dim, n_cells=8)
+    books = pq_train_codebooks(emb, dim=dim, m=8, k=16)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    base = emb.filter(F.col("vec_id") != 0)
+    idx = tempfile.mkdtemp(prefix="inxs_demo_ivfpq_")
+    try:
+        ivfpq_write_index(base, cents, books, idx)
+        out = ivfpq_topk(
+            spark, idx, qvec, k=10, nprobe=4, rerank_df=base
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (CCNet-style distillation): learn a
     6-feature logistic model on a bounded hash-ordered sample with
@@ -2333,6 +2368,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_incremental_dedup": x_incremental_dedup,
         "x_pq_topk": x_pq_topk,
+        "x_ivfpq_topk": x_ivfpq_topk,
         "x_quality_classifier": x_quality_classifier,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,

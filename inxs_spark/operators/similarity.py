@@ -118,10 +118,17 @@ def bucket_key(vec_col: str, planes: np.ndarray) -> Column:
 
 
 # above this many embedded scalar literals (planes: n_planes x dim;
-# centroids: n_cells x dim) the expression-tree variants pay more in
-# Catalyst planning + codegen than the Arrow hop costs — measured at
-# dim 768 in tools/stress_dim768.py (see PLANS.md)
-_LITERAL_BUDGET = 4096
+# centroids: n_cells x dim) the expression-tree variants lose to the
+# Arrow hop. Round 5 re-measurement moved this from 4096 to 256: the
+# dot/aggregate kernels are HIGHER-ORDER functions, which Spark
+# evaluates as interpreted closures per row (never whole-stage
+# codegen), so the expr cost is per-ROW, not just per-plan — at 256k
+# rows a 1024-literal cell assignment ran 47s vs 1.1s for the matmul
+# UDF (40x; tools/pq_scale_bench.py exposed it via a 109s IVF-PQ
+# build). Small trees (toy dims, few cells) stay pure-JVM where the
+# Arrow hop's fixed cost would dominate; result equality across the
+# switch is pinned by test_bucket_key_udf_matches_literal_tree.
+_LITERAL_BUDGET = 256
 
 
 def bucket_key_udf(vec_col: str, planes: np.ndarray) -> Column:
@@ -658,16 +665,6 @@ def _pq_code_udf(codebooks: np.ndarray):
     return code
 
 
-#: PQ's expr/UDF switch point is far below _LITERAL_BUDGET: encode
-#: builds m SEPARATE argmin trees (one per subspace), so the codegen
-#: cost scales worse than IVF's single argmin over the same literal
-#: count — measured at dim=64/m=8/k=16 (1024 literals) the pandas-UDF
-#: path is ~4x faster warm (0.43s vs 1.65s on 2k rows) and avoids a
-#: ~1 MiB task binary. Tiny codebooks (tests, toy dims) still take
-#: the pure-JVM expression.
-_PQ_LITERAL_BUDGET = 512
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -675,17 +672,25 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector to its ``m`` nearest-sub-centroid codes:
-    ``(id, pq_code array<int>)``. Auto-selects the codegen expression
-    below ``_PQ_LITERAL_BUDGET`` total codebook literals and the
-    vectorized matmul UDF (one Arrow hop) above it — same plumbing as
-    ``ivf_assign`` but a lower switch point; see the budget note.
+    ``(id, pq_code array<int>)``. Auto-selects the pure-JVM expression
+    below ``_LITERAL_BUDGET`` total codebook literals and the
+    vectorized matmul UDF (one Arrow hop) above it — same plumbing and
+    same interpreted-higher-order-function rationale as ``ivf_assign``
+    (see the budget note; PQ measured 0.43s vs 1.65s on 2k rows even
+    before the per-row cost dominates).
     Narrow output on purpose — the codes table IS the index; the
     embedding column never travels with it."""
-    if codebooks.size > _PQ_LITERAL_BUDGET:
-        code = _pq_code_udf(codebooks)(F.col(vec_col))
-    else:
-        code = _pq_code_expr(vec_col, codebooks)
-    return df.select(F.col(id_col), code.alias("pq_code"))
+    return df.select(
+        F.col(id_col), _pq_code_col(codebooks, vec_col).alias("pq_code")
+    )
+
+
+def _pq_code_col(codebooks: np.ndarray, vec_col: str) -> Column:
+    """The code column with the expr/UDF auto-switch — shared by
+    :func:`pq_encode` and the IVF-PQ layout below."""
+    if codebooks.size > _LITERAL_BUDGET:
+        return _pq_code_udf(codebooks)(F.col(vec_col))
+    return _pq_code_expr(vec_col, codebooks)
 
 
 def pq_write_index(
@@ -831,3 +836,101 @@ def pq_topk_reranked(
     short = pq_topk(codes, codebooks, query_vec, max(k, shortlist), id_col)
     cands = df.join(broadcast(short.select(id_col)), id_col)
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed FAISS-IVFPQ layout: coarse cells prune the
+# SCAN, PQ codes shrink what's scanned
+# ---------------------------------------------------------------------------
+
+def ivfpq_write_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed index: every vector gets its coarse
+    IVF cell AND its PQ code in ONE pass over the corpus, written as a
+    ``(id, pq_code)`` parquet PARTITIONED BY cell. A query then reads
+    ``nprobe/n_cells`` of a table whose rows are ``m`` small ints —
+    the two pruning axes multiply (at the defaults ~4/16 of ~3% of the
+    embedding bytes). Metadata (centroids + codebooks) is written LAST
+    as the atomic commit marker, same contract as
+    :func:`pq_write_index`."""
+    import json
+    import os
+
+    if centroids.size > _LITERAL_BUDGET:
+        cell = _cell_udf(centroids)(F.col(vec_col))
+    else:
+        cell = _cell_expr(vec_col, centroids)
+    coded = df.select(
+        F.col(id_col),
+        _pq_code_col(codebooks, vec_col).alias("pq_code"),
+        cell.alias("cell"),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    meta = {
+        "m": int(codebooks.shape[0]),
+        "k": int(codebooks.shape[1]),
+        "sub": int(codebooks.shape[2]),
+        "codebooks": codebooks.tolist(),
+        "centroids": centroids.tolist(),
+    }
+    tmp = os.path.join(path, "ivfpq.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "ivfpq.json"))
+
+
+def ivfpq_read_meta(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) from a materialized IVF-PQ index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivfpq.json")) as fh:
+        meta = json.load(fh)
+    books = np.asarray(meta["codebooks"], dtype=np.float64).reshape(
+        meta["m"], meta["k"], meta["sub"]
+    )
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    return cents, books
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    rerank_df: Optional[DataFrame] = None,
+    vec_col: str = "embedding",
+    shortlist: int = 64,
+) -> DataFrame:
+    """Approximate top-k against a materialized IVF-PQ index: rank
+    cells driver-side (numpy over the centroid matrix), scan ONLY the
+    nprobe code partitions (PartitionFilters — test-asserted), score
+    with JVM-side ADC. Pass ``rerank_df`` (the full-vector table) to
+    finish with the exact-cosine rerank of the ADC shortlist — the
+    production recipe; without it the raw ADC ranking is returned."""
+    cents, books = ivfpq_read_meta(path)
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d2.argsort()[:nprobe]]
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin(probes)
+    )
+    if rerank_df is None:
+        return pq_topk(codes, books, qv, k, id_col)
+    from pyspark.sql.functions import broadcast
+
+    short = pq_topk(codes, books, qv, max(k, shortlist), id_col)
+    cands = rerank_df.join(broadcast(short.select(id_col)), id_col)
+    return cosine_topk(cands, qv, k, id_col, vec_col)

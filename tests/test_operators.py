@@ -1813,3 +1813,88 @@ class TestPQ:
 
         with _pytest.raises(ValueError):
             pq_train_codebooks(clustered, dim=8, m=3, k=4)
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        centers = np.array([[10, 0, 0, 0, 0, 0, 0, 0],
+                            [0, 10, 0, 0, 0, 0, 0, 0],
+                            [0, 0, 10, 0, 0, 0, 0, 0]], dtype=float)
+        rows = []
+        for i in range(240):
+            c = centers[i % 3] + rng.standard_normal(8) * 0.5
+            rows.append((i, [float(x) for x in c]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_index_prunes_at_scan_and_matches_inline(
+        self, spark, clustered, tmp_path
+    ):
+        """The composed layout must (a) prune to the nprobe cells at
+        the SCAN via PartitionFilters, (b) return exactly what the
+        inline pipeline (assign -> filter cells -> encode -> ADC)
+        returns, and (c) read only (vec_id, pq_code) — never the
+        embedding column."""
+        from inxs_spark.operators.similarity import (
+            ivf_assign,
+            ivf_train_centroids,
+            ivfpq_read_meta,
+            ivfpq_topk,
+            ivfpq_write_index,
+            pq_encode,
+            pq_topk,
+            pq_train_codebooks,
+        )
+        import numpy as np
+
+        cents = ivf_train_centroids(clustered, dim=8, n_cells=3, iters=15)
+        books = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        idx = str(tmp_path / "ivfpq")
+        ivfpq_write_index(clustered, cents, books, idx)
+        got_c, got_b = ivfpq_read_meta(idx)
+        assert np.array_equal(got_c, cents) and np.array_equal(got_b, books)
+
+        q = [10.0, 0.5, -0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+        got = ivfpq_topk(spark, idx, q, k=5, nprobe=1)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cell" in plan.split(
+            "PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "embedding" not in plan, plan
+
+        # inline equivalent: assign cells, keep the query's nearest
+        # cell only, encode, ADC
+        d2 = ((cents - np.asarray(q)[None, :]) ** 2).sum(axis=1)
+        probe = int(d2.argmin())
+        in_cell = ivf_assign(clustered, cents).filter(
+            F.col("cell") == probe
+        ).select("vec_id", "embedding")
+        want = pq_topk(pq_encode(in_cell, books), books, q, k=5)
+        assert [tuple(r) for r in got.collect()] == \
+               [tuple(r) for r in want.collect()]
+
+    def test_rerank_recovers_exact_topk(self, spark, clustered, tmp_path):
+        """With the full-vector table supplied, the ADC shortlist +
+        exact rerank recovers the brute-force top-10 (query deep in
+        one cluster, nprobe=1 covers it)."""
+        from inxs_spark.operators.similarity import (
+            cosine_topk,
+            ivf_train_centroids,
+            ivfpq_topk,
+            ivfpq_write_index,
+            pq_train_codebooks,
+        )
+
+        cents = ivf_train_centroids(clustered, dim=8, n_cells=3, iters=15)
+        books = pq_train_codebooks(clustered, dim=8, m=4, k=8)
+        idx = str(tmp_path / "ivfpq_rr")
+        ivfpq_write_index(clustered, cents, books, idx)
+        q = [0.0, 10.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]
+        brute = [r.vec_id for r in cosine_topk(clustered, q, k=10).collect()]
+        got = [r.vec_id for r in ivfpq_topk(
+            spark, idx, q, k=10, nprobe=1,
+            rerank_df=clustered, shortlist=60,
+        ).collect()]
+        assert set(got) == set(brute), (got, brute)
