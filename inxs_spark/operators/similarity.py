@@ -1,9 +1,11 @@
 """Similarity search over an embedding column (array<float>).
 
-- ``cosine_topk`` — brute-force cosine top-k against a query vector,
-  entirely JVM-side (zip_with + aggregate; whole-stage codegen). The
-  correctness baseline: one scan, one narrow top-k (TakeOrdered), no
-  shuffle of the embedding column.
+- ``cosine_topk`` — brute-force cosine top-k against a query vector.
+  The correctness baseline: one scan, one narrow top-k (TakeOrdered),
+  no shuffle of the embedding column. Pure-JVM dot/norm expression at
+  toy dims, one vectorized Arrow hop at production dims (the dot/norm
+  higher-order functions are interpreted per row, not codegen'd — see
+  the ``_COSINE_EXPR_MAX_DIM`` note).
 - ``hyperplane_lsh_buckets`` / ``ann_topk`` — the scale path: random-
   hyperplane LSH (sign bits of H dot products → bucket key). At 100 TB
   you pre-bucket once (one shuffle, or bucketed table layout), then a
@@ -63,6 +65,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: dot/norm over array columns are HIGHER-ORDER functions — Spark
+#: interprets them per row (no whole-stage codegen), so their cost is
+#: ~dim interpreted closure calls per row. Above this dim the Arrow
+#: matmul variants win (measured dim 64 / 1M rows: 9.3s expr vs 3.5s
+#: UDF for cosine_topk); at or below it the expression avoids the
+#: Arrow hop's fixed cost and the plan stays pure-JVM. Rounding to 4
+#: decimals makes the two paths value-identical (accumulation-order
+#: drift is ~1e-15 relative).
+_COSINE_EXPR_MAX_DIM = 16
+
+
+def _query_cos_udf(query_vec: np.ndarray):
+    """cos(query, v) as one (batch x dim) @ dim matmul per Arrow
+    batch — the scale path for production dims."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    dim = len(q)
+
+    @F.pandas_udf("double")
+    def qcos(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="float64")
+        vals = vecs.to_numpy()
+        valid = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        out = np.full(len(vals), np.nan)
+        if valid.any():
+            X = np.vstack(vals[valid]).astype(np.float64, copy=False)
+            out[valid] = (X @ q) / (np.sqrt((X * X).sum(axis=1)) * qn)
+        # invalid rows must surface as NULL, not NaN — Spark orders NaN
+        # ABOVE every double, so a NaN would win the top-k; the expr
+        # path yields NULL for these rows (desc puts nulls last)
+        ser = pd.Series(out, dtype="Float64")
+        ser[~valid] = pd.NA
+        return ser
+
+    return qcos
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -72,18 +114,24 @@ def cosine_topk(
     exclude_id: Optional[int] = None,
 ) -> DataFrame:
     """Brute-force cosine top-k. The plan is scan → project → TakeOrdered
-    (no full sort, no shuffle of embeddings)."""
+    (no full sort, no shuffle of embeddings). The projection is the
+    pure-JVM dot/norm expression at toy dims and ONE vectorized Arrow
+    hop above ``_COSINE_EXPR_MAX_DIM`` (the dim is known from the
+    query, so the switch needs no corpus probe); both round to 4
+    decimals, so the paths are value-identical (test-pinned)."""
     import math
 
-    q = _lit_vec(query_vec)
-    # query norm folded driver-side — visible in .explain as a literal
-    # instead of a per-row aggregate over the literal array
-    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    v = F.col(vec_col).cast("array<double>")
-    out = df.select(
-        F.col(id_col),
-        F.round(dot(v, q) / (norm(v) * F.lit(qnorm)), 4).alias("cos"),
-    )
+    qv = [float(x) for x in query_vec]
+    if len(qv) > _COSINE_EXPR_MAX_DIM:
+        raw = _query_cos_udf(np.asarray(qv))(F.col(vec_col))
+    else:
+        q = _lit_vec(qv)
+        # query norm folded driver-side — visible in .explain as a
+        # literal instead of a per-row aggregate over the literal array
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        v = F.col(vec_col).cast("array<double>")
+        raw = dot(v, q) / (norm(v) * F.lit(qnorm))
+    out = df.select(F.col(id_col), F.round(raw, 4).alias("cos"))
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
@@ -273,8 +321,29 @@ def pairwise_ann_candidates(
         )
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
     return _within_group_cosine_pairs(
-        bucketed, "bucket", id_col, vec_col, min_cos
+        bucketed, "bucket", id_col, vec_col, min_cos, dim=dim
     ).distinct()
+
+
+def _pair_cos_udf():
+    """cos(v_a, v_b) rowwise as vectorized numpy per Arrow batch —
+    the scale path for the within-group pair joins (the dot/norm
+    expressions are interpreted higher-order functions; see the
+    ``_COSINE_EXPR_MAX_DIM`` note)."""
+
+    @F.pandas_udf("double")
+    def pcos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype="Float64")
+        A = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1) * (B * B).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out, dtype="Float64")
+
+    return pcos
 
 
 def _within_group_cosine_pairs(
@@ -283,12 +352,17 @@ def _within_group_cosine_pairs(
     id_col: str,
     vec_col: str,
     min_cos: float,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Shared within-group pair machinery for every bucketed/celled
     cosine near-dup path: self-join on the group key, id_a < id_b,
     threshold on the RAW cosine (rounding before the filter would
     flip pairs at e.g. the 0.44995 boundary — round-4 review
-    finding; the rounded value is emitted for display/oracle only)."""
+    finding; the rounded value is emitted for display/oracle only).
+    Above ``_COSINE_EXPR_MAX_DIM`` (when the caller knows ``dim``)
+    the per-pair cosine runs as ONE vectorized Arrow hop instead of
+    the interpreted dot/norm expression — at scale the pair count is
+    the hot loop of semantic dedup."""
     a = grouped.select(
         F.col(key_col), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
@@ -297,8 +371,14 @@ def _within_group_cosine_pairs(
         F.col(key_col), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
     )
-    raw = cosine(F.col("v_a").cast("array<double>"),
-                 F.col("v_b").cast("array<double>"))
+    if dim is not None and dim > _COSINE_EXPR_MAX_DIM:
+        raw = _pair_cos_udf()(
+            F.col("v_a").cast("array<double>"),
+            F.col("v_b").cast("array<double>"),
+        )
+    else:
+        raw = cosine(F.col("v_a").cast("array<double>"),
+                     F.col("v_b").cast("array<double>"))
     return (
         a.join(b, key_col)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -512,7 +592,7 @@ def semantic_dedup_pairs(
     )
     assigned = ivf_assign(df, cents, id_col, vec_col)
     return _within_group_cosine_pairs(
-        assigned, "cell", id_col, vec_col, min_cos
+        assigned, "cell", id_col, vec_col, min_cos, dim=dim
     )
 
 
@@ -548,7 +628,7 @@ def semantic_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = _within_group_cosine_pairs(
-        assigned, "cell", id_col, vec_col, min_cos
+        assigned, "cell", id_col, vec_col, min_cos, dim=dim
     )
     # dedup_keep_one_per_cluster materializes the edge set eagerly
     # (localCheckpoint inside connected_components), so the assigned

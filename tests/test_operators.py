@@ -1898,3 +1898,57 @@ class TestIVFPQ:
             rerank_df=clustered, shortlist=60,
         ).collect()]
         assert set(got) == set(brute), (got, brute)
+
+
+class TestCosineImplSwitch:
+    """The dim-based expr/Arrow switch in cosine_topk and the pair
+    cosine must not change results (values round to 4 decimals on
+    both paths)."""
+
+    def test_query_paths_agree_at_production_dim(self, spark):
+        import numpy as np
+
+        from inxs_spark.operators import similarity as S
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(64)])
+                for i in range(300)]
+        rows.append((900, None))
+        rows.append((901, [1.0, 2.0]))  # wrong dim
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = [float(x) for x in rng.standard_normal(64)]
+        assert 64 > S._COSINE_EXPR_MAX_DIM
+        got = [tuple(r) for r in S.cosine_topk(df, q, k=15).collect()]
+        # force the expression path for the same corpus
+        try:
+            S._COSINE_EXPR_MAX_DIM = 1024
+            want = [tuple(r) for r in S.cosine_topk(df, q, k=15).collect()]
+        finally:
+            S._COSINE_EXPR_MAX_DIM = 16
+        assert got == want
+        ids = [t[0] for t in got]
+        assert 900 not in ids and 901 not in ids
+
+    def test_pair_paths_agree_at_production_dim(self, spark):
+        import numpy as np
+
+        from inxs_spark.operators import similarity as S
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(64)
+        rows = []
+        for i in range(60):
+            rows.append((i, [float(x) for x in base + rng.standard_normal(64) * 0.05]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        grouped = df.withColumn("g", F.lit(1))
+        got = sorted(
+            tuple(r) for r in S._within_group_cosine_pairs(
+                grouped, "g", "vec_id", "embedding", 0.9, dim=64
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in S._within_group_cosine_pairs(
+                grouped, "g", "vec_id", "embedding", 0.9, dim=None
+            ).collect()
+        )
+        assert got and got == want
