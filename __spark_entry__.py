@@ -674,11 +674,16 @@ def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH deterministic mixing primitives in one oracled frame
     (round-4 slot consolidation — freed the slot q_pack_sequences now
     uses): 'mix' rows = weighted source mixing (keep 100% en / 50% de
-    / 10% fr), 'splits' rows = 90/5/5 train/val/test assignment; both
-    decided by the cross-engine md5 ticket, with per-group counts AND
-    order-insensitive id-set digests value-checked against DuckDB
-    applying the identical thresholds."""
-    from inxs_spark.operators.text import assign_splits, weighted_mix
+    / 10% fr), 'splits' rows = 90/5/5 train/val/test assignment,
+    'epochs' rows = upsampling WITH repetition (en 0.4 / de 2.5 — de
+    replays 2 full epochs plus a deterministic 50% third, the rare-
+    domain temperature-mixture recipe); all decided by the cross-
+    engine md5 ticket, with per-group counts AND order-insensitive
+    id-set digests value-checked against DuckDB applying the
+    identical thresholds (epoch copies via unnest(range(...)))."""
+    from inxs_spark.operators.text import (
+        assign_splits, upsample_epochs, weighted_mix,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     digest = F.sum(
@@ -699,7 +704,19 @@ def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"), digest)
         .select(F.lit("splits").alias("op"), "lang", "split", "n", "id_digest")
     )
-    return mixed.unionByName(splits).orderBy("op", "lang", "split")
+    epochs = (
+        upsample_epochs(docs, {"en": 0.4, "de": 2.5},
+                        key_col="lang", id_col="doc_id")
+        .groupBy("lang", "epoch")
+        .agg(F.count("*").cast("long").alias("n"), digest)
+        .select(F.lit("epochs").alias("op"), "lang",
+                F.col("epoch").cast("string").alias("split"),
+                "n", "id_digest")
+    )
+    return (
+        mixed.unionByName(splits).unionByName(epochs)
+        .orderBy("op", "lang", "split")
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +900,129 @@ def _bpe_pack_oracle() -> str:
                    md5(string_agg(tok, ' ' ORDER BY p)) AS seq_md5
             FROM pos GROUP BY shard, seq_idx
             ORDER BY shard, seq_idx
+        """
+
+
+# -- full-corpus k-means parity (round-5) ---------------------------------
+
+_KM_DIM, _KM_K, _KM_N, _KM_ITERS = 6, 4, 48, 2
+
+
+def _kmeans_planted_corpus() -> list[tuple[int, list[float]]]:
+    """48 deterministic dim-6 INTEGER vectors in 4 well-separated
+    clusters (center c = 20 at coordinate c, jitter in [-2, 2] by
+    pure modular arithmetic — no RNG). Integer coordinates make every
+    intermediate — dot products, squared distances, per-cell sums —
+    exactly representable in doubles, so Spark and DuckDB agree
+    bit-for-bit regardless of summation order and no near-tie can
+    flip an assignment between engines."""
+    return [
+        (
+            i,
+            [
+                float(20 * (d == i % _KM_K) + ((i * 7 + d * 3) % 5) - 2)
+                for d in range(_KM_DIM)
+            ],
+        )
+        for i in range(_KM_N)
+    ]
+
+
+def _kmeans_seeds() -> list[list[float]]:
+    """Seed centroids = the planted centers displaced by +3 on every
+    coordinate (still nearest to their own cluster by a wide margin),
+    so the refinement has real work to do in iteration 1."""
+    return [
+        [float(20 * (d == c) + 3) for d in range(_KM_DIM)]
+        for c in range(_KM_K)
+    ]
+
+
+def q_kmeans_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus Lloyd refinement with a FULL cross-engine oracle:
+    kmeans_refine (operators/similarity.py — the distributed
+    assignment expr/UDF switch + per-cell mean aggregation that
+    ivf_train_centroids' bounded-sample training deliberately skips)
+    runs 2 iterations over the planted corpus, and DuckDB replays
+    BOTH iterations natively in SQL (cross join against the seed
+    centroids, argmin via row_number over (squared distance, cell),
+    per-cell avg, then the same against the iteration-1 means). Every
+    refined coordinate and cell size is value-checked; a divergence
+    in assignment tie-breaks, empty-cell policy, or mean arithmetic
+    flips a row."""
+    import numpy as np
+
+    from inxs_spark.operators.similarity import kmeans_refine
+
+    df = spark.createDataFrame(
+        _kmeans_planted_corpus(), "vec_id long, embedding array<double>"
+    )
+    C, sizes = kmeans_refine(
+        df, np.array(_kmeans_seeds()), iters=_KM_ITERS
+    )
+    rows = [
+        tuple(
+            [c, sizes.get(c, 0)]
+            + [round(float(C[c, d]), 6) for d in range(_KM_DIM)]
+        )
+        for c in range(_KM_K)
+    ]
+    schema = "cell int, n long, " + ", ".join(
+        f"m{d} double" for d in range(_KM_DIM)
+    )
+    return spark.createDataFrame(rows, schema).orderBy("cell")
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB SQL re-deriving q_kmeans_parity: the planted corpus and
+    seeds as literal VALUES, two Lloyd iterations in CTEs."""
+    corpus_values = ",\n              ".join(
+        "(%d, %s)" % (i, ", ".join(str(int(x)) for x in v))
+        for i, v in _kmeans_planted_corpus()
+    )
+    seed_values = ",\n              ".join(
+        "(%d, %s)" % (c, ", ".join(str(int(x)) for x in v))
+        for c, v in enumerate(_kmeans_seeds())
+    )
+    xs = [f"x{d}" for d in range(_KM_DIM)]
+    cols = ", ".join(xs)
+    dist = " + ".join(f"(c.{x} - s.s{d}) * (c.{x} - s.s{d})"
+                      for d, x in enumerate(xs))
+    dist2 = " + ".join(f"(c.{x} - m.m{d}) * (c.{x} - m.m{d})"
+                       for d, x in enumerate(xs))
+    avgs = ", ".join(f"avg(c.{x}) AS m{d}" for d, x in enumerate(xs))
+    rounded = ", ".join(f"round(m{d}, 6) AS m{d}" for d in range(_KM_DIM))
+    return f"""
+            -- two full Lloyd iterations replayed natively: argmin by
+            -- row_number over (squared distance, cell) == the
+            -- first-index-on-tie argmax in the Spark assignment
+            WITH corpus(vec_id, {cols}) AS (VALUES
+              {corpus_values}
+            ), seeds(cell, {", ".join(f"s{d}" for d in range(_KM_DIM))})
+              AS (VALUES
+              {seed_values}
+            ), a1 AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, s.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY {dist}, s.cell) AS rn
+                FROM corpus c CROSS JOIN seeds s
+              ) WHERE rn = 1
+            ), m1 AS (
+              SELECT a1.cell, count(*) AS n, {avgs}
+              FROM corpus c JOIN a1 USING (vec_id) GROUP BY a1.cell
+            ), a2 AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, m.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY {dist2}, m.cell) AS rn
+                FROM corpus c CROSS JOIN m1 m
+              ) WHERE rn = 1
+            ), m2 AS (
+              SELECT a2.cell, count(*) AS n, {avgs}
+              FROM corpus c JOIN a2 USING (vec_id) GROUP BY a2.cell
+            )
+            SELECT cell, n, {rounded} FROM m2 ORDER BY cell
         """
 
 
@@ -2153,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_signals": q_doc_signals,
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_embedding_norms": q_embedding_norms,
+        "q_kmeans_parity": q_kmeans_parity,
         "q_cosine_topk": q_cosine_topk,
         "q_rollup_revenue": q_rollup_revenue,
         "q_supplier_revenue": q_supplier_revenue,
@@ -2331,6 +2471,70 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture resampling end-to-end: per-language counts
+    → temperature_weights(tau=0.5) → upsample_epochs (rare languages
+    replay extra epochs, frequent ones downsample), returning the
+    before/after per-language row counts and the effective epoch
+    spread. Demo — the ticket thresholds and epoch-copy semantics are
+    hash-pinned by q_data_mixing's 'epochs' rows."""
+    from inxs_spark.operators.text import temperature_weights, upsample_epochs
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    w = temperature_weights(counts, tau=0.5)
+    mixed = upsample_epochs(docs, w, key_col="lang", id_col="doc_id")
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("rows_after"),
+            (F.max("epoch") + 1).alias("max_epochs"),
+        )
+        .join(
+            spark.createDataFrame(
+                [(k, int(v), round(w[k], 4)) for k, v in counts.items()],
+                "lang string, rows_before long, weight double",
+            ),
+            "lang",
+        )
+        .select("lang", "rows_before", "weight", "rows_after", "max_epochs")
+        .orderBy("lang")
+    )
+
+
+def x_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: sample-train coarse
+    centroids, refine them over the FULL corpus (kmeans_refine), then
+    cap every embedding cluster at a quota (md5-hash order — the
+    shared deterministic_quota rule). Returns per-cell before/after
+    sizes. Demo — refinement arithmetic is hash-pinned by
+    q_kmeans_parity, the quota rule by q_lang_quota_sample."""
+    import numpy as np
+
+    from inxs_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_train_centroids,
+        kmeans_refine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = ivf_train_centroids(emb, dim, n_cells=8, max_sample=1024)
+    refined, sizes = kmeans_refine(emb, cents, iters=1)
+    sampled = cluster_balanced_sample(emb, refined, quota=20)
+    after = sampled.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_after")
+    )
+    before = spark.createDataFrame(
+        [(c, int(n)) for c, n in sorted(sizes.items())],
+        "cell int, n_before long",
+    )
+    return before.join(after, "cell").orderBy("cell")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Raw-output demo queries (full extraction frames, approximate
     pair sets, sketch values, per-item media features). Every
@@ -2343,6 +2547,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (sort/limit/top-k stays oracled via
         # q_shipping_priority and q_cosine_topk)
         "x_top_parts": q_top_parts,
+        # per-vector L2 norms: slot freed for q_kmeans_parity in
+        # round 5 (the norm expression stays oracled inside
+        # q_cosine_topk and the embedding gates)
+        "x_embedding_norms": q_embedding_norms,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -2370,6 +2578,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pq_topk": x_pq_topk,
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_quality_classifier": x_quality_classifier,
+        "x_temperature_mix": x_temperature_mix,
+        "x_kmeans_balanced_sample": x_kmeans_balanced_sample,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,
@@ -2664,12 +2874,7 @@ def oracle_sql() -> dict[str, str]:
                      - len(list_intersect(a.grams, b.grams))) >= 0.4
             ORDER BY id_a, id_b
         """,
-        "q_embedding_norms": """
-            SELECT vec_id,
-                   round(sqrt(list_sum(list_transform(embedding,
-                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
-            FROM embeddings ORDER BY vec_id
-        """,
+        "q_kmeans_parity": _kmeans_oracle(),
         "q_rollup_revenue": """
             SELECT r_name, n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3023,6 +3228,17 @@ def oracle_sql() -> dict[str, str]:
                           WHEN ticket < 996147 THEN 'val'
                           ELSE 'test' END AS split
               FROM t
+            ), e AS (
+              -- upsample-with-repetition: floor(w) full epochs plus a
+              -- fractional epoch iff the SAME ticket < round(frac*2^20)
+              -- (en w=0.4 -> 0+419430; de w=2.5 -> 2+524288)
+              SELECT doc_id, lang,
+                     unnest(range(0,
+                       (CASE WHEN lang = 'de' THEN 2 ELSE 0 END)
+                       + (CASE WHEN (lang = 'en' AND ticket < 419430)
+                               OR (lang = 'de' AND ticket < 524288)
+                          THEN 1 ELSE 0 END))) AS epoch
+              FROM t WHERE lang IN ('en', 'de')
             )
             SELECT 'mix' AS op, lang, 'kept' AS split,
                    count(*) AS n,
@@ -3037,6 +3253,13 @@ def oracle_sql() -> dict[str, str]:
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                      AS BIGINT)) AS BIGINT)
             FROM s GROUP BY lang, split
+            UNION ALL
+            SELECT 'epochs', lang, CAST(epoch AS VARCHAR),
+                   count(*),
+                   CAST(sum(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT)) AS BIGINT)
+            FROM e GROUP BY lang, epoch
             ORDER BY op, lang, split
         """,
         "q_pack_sequences": """

@@ -1014,3 +1014,151 @@ def ivfpq_topk(
     short = pq_topk(codes, books, qv, max(k, shortlist), id_col)
     cands = rerank_df.join(broadcast(short.select(id_col)), id_col)
     return cosine_topk(cands, qv, k, id_col, vec_col)
+
+
+# -- full-corpus k-means refinement + cluster-balanced sampling ----------
+
+#: above this dim the per-cell mean is computed via mapInPandas
+#: partial sums instead of `dim` avg() columns — a groupBy with
+#: hundreds of aggregate expressions exceeds Spark's codegen field
+#: budget (spark.sql.codegen.maxFields = 100) and runs interpreted,
+#: while the partial-sum path does one numpy matmul per Arrow batch
+#: and shuffles only (cell, pos, partial_sum) narrow rows
+_KMEANS_AVG_COLS_MAX_DIM = 64
+
+
+def _kmeans_stats_exprs(
+    df: DataFrame, centroids: np.ndarray, vec_col: str
+) -> list:
+    """Per-cell (count, elementwise mean) via `dim` avg() columns —
+    the pure-JVM path for modest dims. Map-side partial aggregation:
+    the shuffle carries k x dim doubles per map task, never vectors."""
+    dim = centroids.shape[1]
+    if centroids.size > _LITERAL_BUDGET:
+        cell = _cell_udf(centroids)(F.col(vec_col))
+    else:
+        cell = _cell_expr(vec_col, centroids)
+    assigned = df.select(F.col(vec_col), cell.alias("cell"))
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        assigned.filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.avg(v[i]).alias(f"m{i}") for i in range(dim)],
+        )
+        .collect()
+    )
+
+
+def _kmeans_stats_partials(
+    df: DataFrame, centroids: np.ndarray, vec_col: str
+) -> list:
+    """Per-cell (count, elementwise mean) via mapInPandas partial
+    sums — the production-dim path. Each Arrow batch contributes at
+    most k rows of (cell, n, sum-vector); the combine explodes those
+    FEW partial rows to (cell, pos, s) narrow rows and sums — the
+    full vectors never shuffle, and the driver collects only
+    k + k x dim scalars."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    half = 0.5 * (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def gen(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].to_numpy()
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if not valid.any():
+                continue
+            X = np.vstack(vals[valid]).astype(np.float64, copy=False)
+            cells = (X @ C.T - half[None, :]).argmax(axis=1)
+            rows = []
+            for c in np.unique(cells):
+                m = cells == c
+                rows.append((int(c), int(m.sum()), X[m].sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["cell", "n", "sums"])
+
+    partials = df.select(vec_col).mapInPandas(
+        gen, "cell int, n long, sums array<double>"
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    partials = partials.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ns = {r["cell"]: r["n"] for r in
+              partials.groupBy("cell").agg(F.sum("n").alias("n")).collect()}
+        sums = (
+            partials.select("cell", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
+    S = np.zeros((k, dim))
+    for r in sums:
+        S[r["cell"], r["pos"]] = r["s"]
+    out = []
+    for c, n in ns.items():
+        row = {"cell": c, "n": n}
+        for i in range(dim):
+            row[f"m{i}"] = S[c, i] / n
+        out.append(row)
+    return out
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> tuple[np.ndarray, dict[int, int]]:
+    """Full-corpus Lloyd refinement of (sample-trained) centroids —
+    the step :func:`ivf_train_centroids` deliberately skips (its
+    training is O(sample)). Per iteration: ONE assignment pass (the
+    shared expr/UDF switch) and ONE aggregation computing per-cell
+    counts + elementwise means; the driver holds only k x dim. Empty
+    cells keep their previous centroid (no re-seeding — deterministic
+    across engines). Returns (refined centroids, final cell sizes).
+
+    At 100 TB each iteration is one corpus scan; dims above
+    ``_KMEANS_AVG_COLS_MAX_DIM`` use the mapInPandas partial-sum
+    combine (full vectors never shuffle), smaller dims stay pure-JVM
+    as `dim` avg() columns with map-side partial aggregation."""
+    C = np.array(centroids, dtype=np.float64, copy=True)
+    k, dim = C.shape
+    sizes: dict[int, int] = {}
+    for _ in range(max(1, iters)):
+        if dim > _KMEANS_AVG_COLS_MAX_DIM:
+            stats = _kmeans_stats_partials(df, C, vec_col)
+        else:
+            stats = _kmeans_stats_exprs(df, C, vec_col)
+        sizes = {int(r["cell"]): int(r["n"]) for r in stats}
+        for r in stats:
+            C[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(dim)]
+    return C, sizes
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: np.ndarray,
+    quota: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """At most ``quota`` rows per k-means cell, chosen in md5-hash
+    order of the id — cluster-balanced corpus subsampling (diversity
+    sampling over embedding clusters: frequent modes are capped,
+    rare modes survive whole). Selection reuses the ONE shared keyed-
+    quota primitive (text.deterministic_quota) so the rule can never
+    drift from the per-language / per-domain quotas; rows whose
+    vector is null/wrong-dim get no cell and are dropped. One
+    assignment map + one spillable window per cell."""
+    from inxs_spark.operators.text import deterministic_quota
+
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    return deterministic_quota(
+        assigned.filter(F.col("cell").isNotNull()), "cell", id_col, quota
+    )

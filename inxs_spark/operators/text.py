@@ -825,6 +825,91 @@ def weighted_mix(
     return df.filter(cond)
 
 
+def upsample_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic mixture sampling WITH repetition — the upsampling
+    half :func:`weighted_mix` cannot express (its weights cap at 1).
+    A weight ``w`` means each row of that key appears ``floor(w)``
+    times (epochs ``0 .. floor(w)-1``) plus one more (epoch
+    ``floor(w)``) iff its md5 ticket clears the fractional threshold
+    ``round((w - floor(w)) * 2^20)`` — so ``w = 2.3`` replays a key's
+    documents for 2 full epochs and a deterministic 30% third epoch,
+    the standard temperature-mixture recipe for rare domains. Keys
+    absent from ``weights`` are dropped (w = 0).
+
+    The SAME :func:`mix_ticket` decides the fractional copy (not a
+    per-epoch reroll): which documents get the extra epoch is a fixed
+    hash-slice of the key, reproducible across engines (DuckDB:
+    ``unnest(range(0, n_full + (ticket < thr)))``), runs, and retries.
+    Plan shape: one codegen'd CASE for the copy count, one explode
+    generator — no shuffle, no Python; at 100 TB the repetition
+    happens at the scan, never materializing w× the corpus through an
+    exchange. The emitted ``epoch_col`` lets downstream packing salt
+    per-epoch shuffling (e.g. ``pack_sequences(salt=epoch)``) so
+    repeated epochs don't produce identical batches."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, w in weights.items():
+        if w < 0.0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
+    if epoch_col in df.columns:
+        raise ValueError(f"column {epoch_col!r} already exists")
+    ticket = mix_ticket(id_col, salt)
+    n_copies = F.lit(0)
+    for k, w in sorted(weights.items()):
+        n_full = int(w)
+        frac_thr = int(round((w - n_full) * TICKET_MOD))
+        n_copies = F.when(
+            F.col(key_col) == k,
+            F.lit(n_full) + (ticket < frac_thr).cast("int"),
+        ).otherwise(n_copies)
+    helper = "__n_copies"
+    while helper in df.columns:
+        helper = "_" + helper
+    return (
+        df.withColumn(helper, n_copies)
+        .filter(F.col(helper) >= 1)  # sequence() needs start <= stop
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col(helper) - 1)),
+        )
+        .drop(helper)
+    )
+
+
+def temperature_weights(
+    counts: dict[str, int],
+    tau: float = 0.7,
+    budget: float | None = None,
+) -> dict[str, float]:
+    """Per-key mixture weights from corpus counts via temperature
+    sampling (the multinomial ``p_i^tau`` renormalization used for
+    multilingual/multi-domain pretraining mixtures): sampling mass
+    ``q_i ∝ (n_i / N)^tau``, converted to per-ROW weights
+    ``w_i = q_i * budget / n_i`` suitable for :func:`weighted_mix`
+    (all ``w_i <= 1``) or :func:`upsample_epochs` (rare keys get
+    ``w_i > 1`` — repetition). ``tau = 1`` is natural proportions,
+    ``tau = 0`` uniform across keys. ``budget`` is the target total
+    row count; default N (re-mix, don't grow). Pure deterministic
+    driver math over the (small) per-key count dict — the counts come
+    from one groupBy over the corpus."""
+    if not counts or any(n <= 0 for n in counts.values()):
+        raise ValueError("counts must be non-empty with positive values")
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    total = float(sum(counts.values()))
+    budget = total if budget is None else float(budget)
+    mass = {k: (n / total) ** tau for k, n in counts.items()}
+    z = sum(mass.values())
+    return {k: (mass[k] / z) * budget / counts[k] for k in counts}
+
+
 def assign_splits(
     df: DataFrame,
     fractions: dict[str, float] | None = None,

@@ -714,6 +714,80 @@ class TestDedup:
         with pytest.raises(ValueError):
             weighted_mix(df, {"curated": 1.5}, key_col="src")
 
+    def test_upsample_epochs(self, spark):
+        """w=2.3 gives every row epochs {0,1} plus a deterministic
+        ~30% third epoch (same doc slice every run — same ticket as
+        weighted_mix); w<1 matches weighted_mix's kept set exactly;
+        unlisted keys drop; epoch column collision rejected."""
+        from inxs_spark.operators.text import upsample_epochs, weighted_mix
+
+        df = spark.createDataFrame(
+            [(i, "rare" if i % 2 else "common") for i in range(2000)],
+            "doc_id long, src string",
+        )
+        w = {"rare": 2.3, "common": 0.25}
+        rows = upsample_epochs(df, w, key_col="src").collect()
+        again = upsample_epochs(df, w, key_col="src").collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        by_doc: dict[int, list[int]] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.epoch)
+        rare_counts = [len(v) for d, v in by_doc.items() if d % 2]
+        assert set(rare_counts) <= {2, 3}
+        n3 = sum(1 for c in rare_counts if c == 3)
+        assert 200 < n3 < 400             # ~30% of 1000
+        for d, v in by_doc.items():       # epochs are 0..n-1, no gaps
+            assert sorted(v) == list(range(len(v)))
+        # fractional slice == weighted_mix's kept set for the same frac
+        frac_ids = {d for d, v in by_doc.items() if d % 2 and len(v) == 3}
+        wm_ids = {
+            r.doc_id
+            for r in weighted_mix(
+                df.filter("src = 'rare'"), {"rare": 0.3}, key_col="src"
+            ).collect()
+        }
+        assert frac_ids == wm_ids
+        common_ids = {d for d in by_doc if d % 2 == 0}
+        wm_common = {
+            r.doc_id
+            for r in weighted_mix(df, {"common": 0.25}, key_col="src").collect()
+        }
+        assert common_ids == wm_common    # w<1 degenerates to weighted_mix
+        only = upsample_epochs(df, {"rare": 1.0}, key_col="src")
+        assert only.count() == 1000       # unlisted key dropped, w=1 → 1 copy
+        with pytest.raises(ValueError):
+            upsample_epochs(df, {"rare": -0.1}, key_col="src")
+        with pytest.raises(ValueError):
+            upsample_epochs(
+                df.withColumn("epoch", F.lit(0)), w, key_col="src"
+            )
+
+    def test_temperature_weights(self):
+        """tau=1 is natural proportions (all weights 1 at default
+        budget), tau=0 uniform mass, in between rare keys upsample
+        and frequent keys downsample; budget scales linearly."""
+        from inxs_spark.operators.text import temperature_weights
+
+        counts = {"en": 8000, "fr": 1500, "sw": 500}
+        assert temperature_weights(counts, tau=1.0) == pytest.approx(
+            {"en": 1.0, "fr": 1.0, "sw": 1.0}
+        )
+        w0 = temperature_weights(counts, tau=0.0)
+        # uniform mass: every key gets budget/3 rows → w ∝ 1/n
+        assert w0["sw"] == pytest.approx(10000 / 3 / 500)
+        assert w0["en"] == pytest.approx(10000 / 3 / 8000)
+        w = temperature_weights(counts, tau=0.7)
+        assert w["sw"] > 1.0 > w["en"]    # rare upsamples, frequent downsamples
+        # expected total rows == budget
+        total = sum(w[k] * counts[k] for k in counts)
+        assert total == pytest.approx(10000)
+        half = temperature_weights(counts, tau=0.7, budget=5000)
+        assert half["sw"] == pytest.approx(w["sw"] / 2)
+        with pytest.raises(ValueError):
+            temperature_weights({}, tau=0.7)
+        with pytest.raises(ValueError):
+            temperature_weights(counts, tau=-1)
+
     def test_ngram_lm_perplexity(self, spark):
         """A doc made of reference-corpus phrases scores lower
         perplexity than gibberish; hand-checked value on a tiny
@@ -1952,3 +2026,91 @@ class TestCosineImplSwitch:
             ).collect()
         )
         assert got and got == want
+
+
+class TestKMeans:
+    """Full-corpus Lloyd refinement + cluster-balanced sampling."""
+
+    @staticmethod
+    def _planted(spark, n_per=40, dim=4):
+        import numpy as np
+
+        centers = np.eye(3, dim) * 10.0           # well separated
+        rows = []
+        rng = np.random.default_rng(3)
+        for c in range(3):
+            for j in range(n_per):
+                v = centers[c] + rng.standard_normal(dim) * 0.1
+                rows.append((c * n_per + j, [float(x) for x in v]))
+        return centers, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_refine_converges_to_cluster_means(self, spark):
+        import numpy as np
+
+        from inxs_spark.operators.similarity import kmeans_refine
+
+        centers, df = self._planted(spark)
+        # seed centroids displaced but still nearest to their cluster
+        seeds = centers + 1.0
+        got, sizes = kmeans_refine(df, seeds, iters=2)
+        rows = df.collect()
+        X = np.array([r.embedding for r in rows])
+        cells = np.array([r.vec_id // 40 for r in rows])
+        for c in range(3):
+            want = X[cells == c].mean(axis=0)
+            assert np.allclose(got[c], want, atol=1e-9), c
+        assert sizes == {0: 40, 1: 40, 2: 40}
+
+    def test_partials_path_matches_expr_path(self, spark):
+        import numpy as np
+
+        from inxs_spark.operators import similarity as S
+
+        centers, df = self._planted(spark)
+        df = df.unionByName(  # null + wrong-dim rows must be ignored
+            spark.createDataFrame(
+                [(900, None), (901, [1.0])],
+                "vec_id long, embedding array<double>",
+            )
+        )
+        seeds = centers + 0.5
+        a, sa = S.kmeans_refine(df, seeds, iters=1)
+        try:
+            S._KMEANS_AVG_COLS_MAX_DIM = 0   # force partial-sum path
+            b, sb = S.kmeans_refine(df, seeds, iters=1)
+        finally:
+            S._KMEANS_AVG_COLS_MAX_DIM = 64
+        assert sa == sb == {0: 40, 1: 40, 2: 40}
+        assert np.allclose(a, b, atol=1e-9)
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        import numpy as np
+
+        from inxs_spark.operators.similarity import kmeans_refine
+
+        df = spark.createDataFrame(
+            [(i, [10.0, 0.0]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        seeds = np.array([[10.0, 0.0], [-50.0, 0.0]])
+        got, sizes = kmeans_refine(df, seeds, iters=1)
+        assert sizes == {0: 5}
+        assert np.allclose(got[1], [-50.0, 0.0])  # untouched
+
+    def test_cluster_balanced_sample(self, spark):
+        from inxs_spark.operators.similarity import cluster_balanced_sample
+
+        centers, df = self._planted(spark)
+        # make cluster 2 rare: keep 3 of its rows
+        df = df.filter("vec_id < 83")
+        out = cluster_balanced_sample(df, centers, quota=10)
+        by_cell: dict[int, list[int]] = {}
+        for r in out.collect():
+            by_cell.setdefault(r.cell, []).append(r.vec_id)
+        assert len(by_cell[0]) == 10 and len(by_cell[1]) == 10
+        assert sorted(by_cell[2]) == [80, 81, 82]  # rare cell whole
+        again = {r.vec_id for r in
+                 cluster_balanced_sample(df, centers, quota=10).collect()}
+        assert again == {v for vs in by_cell.values() for v in vs}
