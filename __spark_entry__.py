@@ -312,6 +312,47 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SFT_BUDGET = 16
+
+
+def _sft_turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → synthetic multi-turn transcripts: conv per user,
+    turns ordered by (ts, event_id), even turns play 'assistant'.
+    The identical construction is embedded in the DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("text"),
+    ).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, "assistant").otherwise("user"),
+    )
+
+
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT context-window assembly (operators/conversations.py
+    sft_example_index + assemble_sft_examples): one example per
+    assistant turn whose history is the maximal prior-turn suffix
+    fitting a 16-token budget — computed with the strictly-increasing-
+    prefix-sum RANGE-frame formulation (no self-join, no Python). The
+    DuckDB oracle replays the identical two windows (ROWS prefix sum,
+    RANGE budget frame) and re-assembles every history string,
+    value-checking counts, offsets, token sums AND the history md5."""
+    from inxs_spark.operators.conversations import assemble_sft_examples
+
+    turns = _sft_turns_from_events(spark, sf_dir)
+    out = assemble_sft_examples(turns, _SFT_BUDGET)
+    return out.select(
+        "conv_id", "target_idx", "n_history_turns", "history_start_idx",
+        "history_tokens", "target_tokens",
+        F.md5(F.col("history_text")).alias("history_md5"),
+    ).orderBy("conv_id", "target_idx")
+
+
 def q_long_docs_not_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op coverage: long docs EXCEPT ALL english docs."""
     docs = _t(spark, sf_dir, "documents")
@@ -2299,7 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_supplier_revenue": q_supplier_revenue,
         "q_top3_orders_per_segment": q_top3_orders_per_segment,
         "q_user_sessions": q_user_sessions,
-        "q_doc_length_histogram": q_doc_length_histogram,
+        "q_sft_examples": q_sft_examples,
         "q_long_docs_not_english": q_long_docs_not_english,
         "q_events_json_k": q_events_json_k,
         "q_user_event_sequence": q_user_event_sequence,
@@ -2551,6 +2592,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (the norm expression stays oracled inside
         # q_cosine_topk and the embedding gates)
         "x_embedding_norms": q_embedding_norms,
+        # doc-length histogram: slot freed for q_sft_examples in
+        # round 5 (floor-bucket aggregation stays oracled via
+        # q_events_hourly / q_events_6h_rollup)
+        "x_doc_length_histogram": q_doc_length_histogram,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -2921,10 +2966,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
-        "q_doc_length_histogram": """
-            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket_100,
-                   count(*) AS n_docs
-            FROM documents GROUP BY 1 ORDER BY 1
+        "q_sft_examples": f"""
+            -- SFT context assembly replayed: same synthetic turns
+            -- (conv per user, even turns 'assistant'), same ROWS
+            -- prefix sum, same RANGE budget frame (strictly
+            -- increasing cumprev — empty text still counts 1 token),
+            -- history strings re-assembled and md5-checked
+            WITH turns AS (
+              SELECT user_id AS conv_id,
+                     row_number() OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) - 1 AS turn_idx,
+                     concat(event_type, ' ', props) AS text
+              FROM events
+            ), tok AS (
+              SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+              FROM turns
+            ), cp AS (
+              SELECT *, CAST(coalesce(sum(t) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS cumprev
+              FROM tok
+            ), fr AS (
+              SELECT conv_id, turn_idx, t, cumprev,
+                     count(*) OVER w AS nf,
+                     min(cumprev) OVER w AS minc,
+                     min(turn_idx) OVER w AS sidx
+              FROM cp
+              WINDOW w AS (PARTITION BY conv_id ORDER BY cumprev
+                           RANGE BETWEEN {_SFT_BUDGET} PRECEDING
+                                     AND CURRENT ROW)
+            ), ex AS (
+              SELECT conv_id, turn_idx AS target_idx,
+                     CAST(nf - 1 AS BIGINT) AS n_history_turns,
+                     CASE WHEN nf > 1 THEN sidx END AS history_start_idx,
+                     CAST(cumprev - minc AS BIGINT) AS history_tokens,
+                     t AS target_tokens
+              FROM fr WHERE turn_idx % 2 = 0
+            )
+            SELECT e.conv_id, e.target_idx, e.n_history_turns,
+                   e.history_start_idx, e.history_tokens,
+                   e.target_tokens,
+                   md5(CASE WHEN e.n_history_turns = 0 THEN ''
+                       ELSE (SELECT string_agg(h.text, chr(10)
+                                               ORDER BY h.turn_idx)
+                             FROM turns h
+                             WHERE h.conv_id = e.conv_id
+                               AND h.turn_idx >= e.history_start_idx
+                               AND h.turn_idx < e.target_idx) END)
+                     AS history_md5
+            FROM ex e ORDER BY conv_id, target_idx
         """,
         "q_long_docs_not_english": """
             SELECT doc_id FROM documents WHERE n_chars > 300

@@ -125,3 +125,117 @@ def conversation_dup_groups(extracted: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+def sft_example_index(
+    turns: DataFrame,
+    max_history_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """One training-example row per ``target_role`` turn: the example's
+    history is the LONGEST SUFFIX of prior turns whose whitespace-token
+    total fits ``max_history_tokens`` — the canonical SFT context-
+    window assembly over multi-turn transcripts.
+
+    Pure JVM, two windows, no self-join and no Python: per-turn token
+    counts are always ≥ 1 (split('') yields one element), so the
+    running prefix sum ``cumprev`` (tokens BEFORE each turn) is
+    STRICTLY increasing within a conversation — which turns the
+    budget search into a RANGE frame: ordering by cumprev,
+    ``RANGE BETWEEN max_history_tokens PRECEDING AND CURRENT ROW``
+    holds exactly the maximal fitting suffix plus the current turn
+    (including one more turn would overshoot the budget by the frame
+    bound; every held turn fits by the same bound). count-1 is the
+    history length, cumprev - min(cumprev) the history tokens,
+    min(idx) the history start. O(n log n) per conversation, fully
+    spillable, and replayable verbatim in any engine with numeric
+    RANGE frames (the q_sft_examples oracle does, in DuckDB)."""
+    from pyspark.sql.window import Window
+
+    tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w_idx = Window.partitionBy(conv_col).orderBy(idx_col)
+    cumprev = F.coalesce(
+        F.sum("__tok").over(
+            w_idx.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    t = turns.withColumn("__tok", tok).withColumn("__cumprev", cumprev)
+    w_rng = (
+        Window.partitionBy(conv_col)
+        .orderBy("__cumprev")
+        .rangeBetween(-max_history_tokens, 0)
+    )
+    return (
+        t.withColumn("__n_frame", F.count("*").over(w_rng))
+        .withColumn("__min_cumprev", F.min("__cumprev").over(w_rng))
+        .withColumn("__start_idx", F.min(idx_col).over(w_rng))
+        .filter(F.col(role_col) == target_role)
+        .select(
+            F.col(conv_col),
+            F.col(idx_col).alias("target_idx"),
+            (F.col("__n_frame") - 1).cast("long").alias("n_history_turns"),
+            F.when(F.col("__n_frame") > 1, F.col("__start_idx"))
+            .alias("history_start_idx"),
+            (F.col("__cumprev") - F.col("__min_cumprev"))
+            .cast("long")
+            .alias("history_tokens"),
+            F.col("__tok").alias("target_tokens"),
+        )
+    )
+
+
+def assemble_sft_examples(
+    turns: DataFrame,
+    max_history_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize the history TEXT for every :func:`sft_example_index`
+    row: equi-join the index back to the turns on the conversation
+    key, keep turns in ``[history_start_idx, target_idx)``, and
+    reassemble in order with the module's one-aggregation
+    array_sort(collect_list(struct)) shape. The join is a plain
+    conv-key equi-join whose per-group fan-out is (turns × examples)
+    — bounded by the module's ≤2000-turn conversation invariant, and
+    the output's total size is inherently Σ history sizes anyway
+    (every example physically contains its window)."""
+    idx = sft_example_index(
+        turns, max_history_tokens, conv_col, idx_col, role_col,
+        text_col, target_role,
+    )
+    src = turns.select(
+        F.col(conv_col),
+        F.col(idx_col).alias("__hist_idx"),
+        F.col(text_col).alias("__hist_text"),
+    )
+    with_hist = idx.filter(F.col("n_history_turns") > 0).join(src, conv_col)
+    packed = F.struct(F.col("__hist_idx"), F.col("__hist_text"))
+    assembled = (
+        with_hist.filter(
+            (F.col("__hist_idx") >= F.col("history_start_idx"))
+            & (F.col("__hist_idx") < F.col("target_idx"))
+        )
+        .groupBy(
+            conv_col, "target_idx", "n_history_turns",
+            "history_start_idx", "history_tokens", "target_tokens",
+        )
+        .agg(F.array_sort(F.collect_list(packed)).alias("__h"))
+        .withColumn(
+            "history_text",
+            F.array_join(F.transform("__h", lambda s: s["__hist_text"]), sep),
+        )
+        .drop("__h")
+    )
+    empties = idx.filter(F.col("n_history_turns") == 0).withColumn(
+        "history_text", F.lit("")
+    )
+    return assembled.unionByName(empties)

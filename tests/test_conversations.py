@@ -117,3 +117,92 @@ def test_conversation_prefix_groups_bounded_state(spark):
     assert "collect_list" in plan and "row_number" in plan
     assert plan.index("collect_list") < plan.index("row_number")
     assert "<= 3" in plan
+
+
+def _sft_turns(spark):
+    # conv "a": token counts 2,3,1,4,2 (whitespace words)
+    rows = [
+        ("a", 0, "user", "hi there"),                 # 2 tokens
+        ("a", 1, "assistant", "hello big world"),     # 3
+        ("a", 2, "user", "ok"),                       # 1
+        ("a", 3, "assistant", "a b c d"),             # 4
+        ("a", 4, "assistant", "x y"),                 # 2
+        ("b", 0, "assistant", "solo opener"),         # no history
+        ("b", 1, "user", ""),                         # empty text = 1 token
+        ("b", 2, "assistant", "after empty"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_sft_example_index_budget_suffix(spark):
+    """History is the maximal fitting SUFFIX of prior turns; empty
+    text still counts one token; history-less targets get 0/null."""
+    from inxs_spark.operators.conversations import sft_example_index
+
+    idx = {
+        (r.conv_id, r.target_idx): r
+        for r in sft_example_index(_sft_turns(spark), 4).collect()
+    }
+    a1 = idx[("a", 1)]            # prior tokens: [2] -> fits (2<=4)
+    assert (a1.n_history_turns, a1.history_start_idx,
+            a1.history_tokens, a1.target_tokens) == (1, 0, 2, 3)
+    a3 = idx[("a", 3)]            # priors 2,3,1: suffix [3,1]=4 fits, +2 overshoots
+    assert (a3.n_history_turns, a3.history_start_idx,
+            a3.history_tokens) == (2, 1, 4)
+    a4 = idx[("a", 4)]            # priors ...,1,4: suffix [4] fits, [1,4]=5 no
+    assert (a4.n_history_turns, a4.history_start_idx,
+            a4.history_tokens) == (1, 3, 4)
+    b0 = idx[("b", 0)]            # opener: no history
+    assert (b0.n_history_turns, b0.history_start_idx,
+            b0.history_tokens) == (0, None, 0)
+    b2 = idx[("b", 2)]            # empty turn counts 1 token
+    assert (b2.n_history_turns, b2.history_tokens) == (2, 3)
+    assert len(idx) == 5          # assistant turns only
+
+
+def test_sft_example_index_matches_serial_reference(spark):
+    """Window formulation == an independent O(n^2) Python reference
+    on a generated multi-conversation corpus."""
+    from inxs_spark.operators.conversations import sft_example_index
+
+    rows, want = [], {}
+    for c in range(6):
+        toks = [((c * 13 + i * 7) % 5) + 1 for i in range(30)]
+        texts = [" ".join(["w"] * t) for t in toks]
+        for i, txt in enumerate(texts):
+            rows.append((f"c{c}", i, "assistant" if i % 2 else "user", txt))
+        budget = 7
+        for i in range(30):
+            if i % 2 == 0:
+                continue
+            s, tot = i, 0
+            while s > 0 and tot + toks[s - 1] <= budget:
+                tot += toks[s - 1]
+                s -= 1
+            want[(f"c{c}", i)] = (i - s, s if s < i else None, tot)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r.conv_id, r.target_idx): (
+            r.n_history_turns, r.history_start_idx, r.history_tokens
+        )
+        for r in sft_example_index(df, 7).collect()
+    }
+    assert got == want
+
+
+def test_assemble_sft_examples_text(spark):
+    from inxs_spark.operators.conversations import assemble_sft_examples
+
+    out = {
+        (r.conv_id, r.target_idx): r
+        for r in assemble_sft_examples(_sft_turns(spark), 4).collect()
+    }
+    assert out[("a", 3)].history_text == "hello big world\nok"
+    assert out[("a", 4)].history_text == "a b c d"
+    assert out[("b", 0)].history_text == ""
+    assert out[("b", 2)].history_text == "solo opener\n"  # empty turn kept
+    assert len(out) == 5
