@@ -156,7 +156,12 @@ def sft_example_index(
     RANGE frames (the q_sft_examples oracle does, in DuckDB)."""
     from pyspark.sql.window import Window
 
-    tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # coalesce BEFORE split: size(split(NULL)) is NULL/-1, which would
+    # break the strictly-increasing-prefix-sum invariant the RANGE
+    # frame depends on; a null turn counts like an empty one (1 token)
+    tok = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).cast("long")
     w_idx = Window.partitionBy(conv_col).orderBy(idx_col)
     cumprev = F.coalesce(
         F.sum("__tok").over(
@@ -215,7 +220,10 @@ def assemble_sft_examples(
     src = turns.select(
         F.col(conv_col),
         F.col(idx_col).alias("__hist_idx"),
-        F.col(text_col).alias("__hist_text"),
+        # same null rule as the index: a null turn is an empty line
+        # (array_join would silently DROP a null element, making the
+        # text disagree with the 1-token accounting)
+        F.coalesce(F.col(text_col), F.lit("")).alias("__hist_text"),
     )
     with_hist = idx.filter(F.col("n_history_turns") > 0).join(src, conv_col)
     packed = F.struct(F.col("__hist_idx"), F.col("__hist_text"))

@@ -1155,10 +1155,16 @@ def cluster_balanced_sample(
     quota primitive (text.deterministic_quota) so the rule can never
     drift from the per-language / per-domain quotas; rows whose
     vector is null/wrong-dim get no cell and are dropped. One
-    assignment map + one spillable window per cell."""
+    assignment map + one spillable window per cell. All caller
+    columns are preserved (plus the assigned ``cell``) — this is a
+    row sampler, not a projection."""
     from inxs_spark.operators.text import deterministic_quota
 
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    if centroids.size > _LITERAL_BUDGET:
+        cell = _cell_udf(centroids)(F.col(vec_col))
+    else:
+        cell = _cell_expr(vec_col, centroids)
+    assigned = df.withColumn("cell", cell)
     return deterministic_quota(
         assigned.filter(F.col("cell").isNotNull()), "cell", id_col, quota
     )

@@ -128,7 +128,7 @@ def _sft_turns(spark):
         ("a", 3, "assistant", "a b c d"),             # 4
         ("a", 4, "assistant", "x y"),                 # 2
         ("b", 0, "assistant", "solo opener"),         # no history
-        ("b", 1, "user", ""),                         # empty text = 1 token
+        ("b", 1, "user", None),                       # null text = 1 token
         ("b", 2, "assistant", "after empty"),
     ]
     return spark.createDataFrame(

@@ -2103,9 +2103,11 @@ class TestKMeans:
         from inxs_spark.operators.similarity import cluster_balanced_sample
 
         centers, df = self._planted(spark)
-        # make cluster 2 rare: keep 3 of its rows
-        df = df.filter("vec_id < 83")
+        # make cluster 2 rare: keep 3 of its rows; extra caller column
+        # must survive sampling (row sampler, not a projection)
+        df = df.filter("vec_id < 83").withColumn("src", F.lit("corpus"))
         out = cluster_balanced_sample(df, centers, quota=10)
+        assert set(out.columns) == {"vec_id", "embedding", "src", "cell"}
         by_cell: dict[int, list[int]] = {}
         for r in out.collect():
             by_cell.setdefault(r.cell, []).append(r.vec_id)
