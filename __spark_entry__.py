@@ -2576,6 +2576,41 @@ def x_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.join(after, "cell").orderBy("cell")
 
 
+def x_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair extraction demo: the
+    q_conversation_prefix_groups forked-conv construction (5 convs
+    share a 3-turn opener, then diverge) + a per-conversation
+    total-chars heuristic score → one (chosen, rejected) pair per
+    fork group. Demo — the prefix machinery is hash-pinned by
+    q_conversation_prefix_groups, the struct-extreme selection by
+    tests/test_conversations.py."""
+    from inxs_spark.operators.conversations import preference_pairs
+
+    turns = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.expr("doc_id div 50").cast("int").alias("turn_idx"),
+        F.when(
+            (F.col("doc_id") % 50 < 5) & (F.expr("doc_id div 50") < 3),
+            F.concat(F.lit("shared opener turn "),
+                     F.expr("doc_id div 50").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scores = turns.groupBy("conv_id").agg(
+        F.sum(F.length("text")).cast("double").alias("score")
+    )
+    return (
+        preference_pairs(turns, scores, k_turns=3)
+        .select(
+            "prefix_md5", "n_candidates",
+            "chosen_conv_id", "chosen_score",
+            "rejected_conv_id", "rejected_score",
+            F.md5("chosen_text").alias("chosen_md5"),
+            F.md5("rejected_text").alias("rejected_md5"),
+        )
+        .orderBy("prefix_md5")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Raw-output demo queries (full extraction frames, approximate
     pair sets, sketch values, per-item media features). Every
@@ -2625,6 +2660,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality_classifier": x_quality_classifier,
         "x_temperature_mix": x_temperature_mix,
         "x_kmeans_balanced_sample": x_kmeans_balanced_sample,
+        "x_preference_pairs": x_preference_pairs,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,

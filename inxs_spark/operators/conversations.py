@@ -247,3 +247,97 @@ def assemble_sft_examples(
         "history_text", F.lit("")
     )
     return assembled.unionByName(empties)
+
+
+def preference_pairs(
+    turns: DataFrame,
+    scores: DataFrame,
+    k_turns: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """DPO/RLHF preference-pair extraction from forked transcripts:
+    conversations sharing their first ``k_turns`` turns byte-for-byte
+    (the :func:`conversation_prefix_groups` key) fork into candidate
+    completions at the first divergent position; within each fork
+    group the highest-scoring completion becomes ``chosen`` and the
+    lowest ``rejected`` (score ties broken by conv id — fully
+    deterministic), provided the two texts actually differ (identical
+    completions carry no preference signal and are dropped).
+    ``scores`` is a (conv_col, score_col) frame — a reward-model
+    output, human rating, or heuristic.
+
+    Bounded state end-to-end: the row_number ≤ k+1 prefilter keeps
+    k+1 rows per conversation before any aggregation (the
+    conversation_prefix_groups discipline), the scores join is
+    conv-keyed, and the fork-group aggregation holds TWO structs per
+    group (max/min over (score, conv_id, text)) however many
+    candidates fork from one prefix."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col, "t")
+    first = (
+        turns.select(
+            F.col(conv_col),
+            F.col(idx_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_turns + 1)
+    )
+    packed = F.struct(F.col(idx_col), F.col("t"))
+    per_conv = (
+        first.select(F.col(conv_col), packed.alias("turns_packed"))
+        .groupBy(conv_col)
+        .agg(
+            F.expr(
+                f"array_join(transform(slice(array_sort("
+                f"collect_list(turns_packed)), 1, {k_turns}),"
+                " s -> s.t), chr(1))"
+            ).alias("__prefix"),
+            # the completion: the (k+1)-th row in prefix order, null
+            # for conversations that end at the shared prefix
+            F.expr(
+                f"try_element_at(transform(slice(array_sort("
+                f"collect_list(turns_packed)), {k_turns + 1}, 1),"
+                " s -> s.t), 1)"
+            ).alias("__completion"),
+        )
+        .filter(F.col("__completion").isNotNull())
+        .select(
+            F.md5("__prefix").alias("prefix_md5"),
+            F.col(conv_col),
+            F.col("__completion"),
+        )
+    )
+    cand = per_conv.join(
+        scores.select(F.col(conv_col), F.col(score_col).alias("__score")),
+        conv_col,
+    )
+    ranked = F.struct(
+        F.col("__score"), F.col(conv_col), F.col("__completion")
+    )
+    return (
+        cand.groupBy("prefix_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.max(ranked).alias("__hi"),
+            F.min(ranked).alias("__lo"),
+        )
+        .filter(
+            (F.col("n_candidates") >= 2)
+            & (F.col("__hi.__completion") != F.col("__lo.__completion"))
+        )
+        .select(
+            "prefix_md5",
+            "n_candidates",
+            F.col(f"__hi.{conv_col}").alias("chosen_conv_id"),
+            F.col("__hi.__score").alias("chosen_score"),
+            F.col("__hi.__completion").alias("chosen_text"),
+            F.col(f"__lo.{conv_col}").alias("rejected_conv_id"),
+            F.col("__lo.__score").alias("rejected_score"),
+            F.col("__lo.__completion").alias("rejected_text"),
+        )
+    )

@@ -206,3 +206,69 @@ def test_assemble_sft_examples_text(spark):
     assert out[("b", 0)].history_text == ""
     assert out[("b", 2)].history_text == "solo opener\n"  # empty turn kept
     assert len(out) == 5
+
+
+def _forked_turns(spark):
+    """Three convs share a 2-turn opener then diverge; conv f4 shares
+    it too but its completion EQUALS f1's (no signal vs f1 alone);
+    conv g is unforked; conv h ends at the shared prefix (no
+    completion)."""
+    rows = []
+    for c in ("f1", "f2", "f3", "f4", "h"):
+        rows += [(c, 0, "hello"), (c, 1, "how can I help")]
+    rows += [
+        ("f1", 2, "answer A"),
+        ("f2", 2, "answer B"),
+        ("f3", 2, "answer C"),
+        ("f4", 2, "answer A"),
+        ("g", 0, "different opener"),
+        ("g", 1, "x"),
+        ("g", 2, "y"),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def test_preference_pairs_basic(spark):
+    from inxs_spark.operators.conversations import preference_pairs
+
+    turns = _forked_turns(spark)
+    scores = spark.createDataFrame(
+        [("f1", 0.9), ("f2", 0.2), ("f3", 0.5), ("f4", 0.7),
+         ("g", 1.0), ("h", 1.0)],
+        "conv_id string, score double",
+    )
+    out = preference_pairs(turns, scores, k_turns=2).collect()
+    assert len(out) == 1                      # one fork group survives
+    p = out[0]
+    assert p.n_candidates == 4                # f1..f4 all complete
+    assert (p.chosen_conv_id, p.chosen_text) == ("f1", "answer A")
+    assert (p.rejected_conv_id, p.rejected_text) == ("f2", "answer B")
+    assert (p.chosen_score, p.rejected_score) == (0.9, 0.2)
+    again = preference_pairs(turns, scores, k_turns=2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_preference_pairs_tie_and_identical_filters(spark):
+    from inxs_spark.operators.conversations import preference_pairs
+
+    turns = _forked_turns(spark)
+    # equal scores everywhere: chosen = highest conv_id, rejected =
+    # lowest; f1-vs-f4 have identical text but f2/f3 differ so the
+    # extremes (f4 hi, f1 lo by id) have DIFFERENT texts? f4 text ==
+    # f1 text -> pair dropped only if extremes tie on text
+    scores = spark.createDataFrame(
+        [(c, 1.0) for c in ("f1", "f2", "f3", "f4", "g", "h")],
+        "conv_id string, score double",
+    )
+    out = preference_pairs(turns, scores, k_turns=2).collect()
+    # max struct = (1.0,'f4','answer A'), min = (1.0,'f1','answer A')
+    # -> identical completions -> dropped
+    assert out == []
+    # scores that rank a distinct-text pair at the extremes
+    scores2 = spark.createDataFrame(
+        [("f1", 0.1), ("f2", 0.9), ("f3", 0.5), ("f4", 0.1),
+         ("g", 1.0), ("h", 1.0)],
+        "conv_id string, score double",
+    )
+    p = preference_pairs(turns, scores2, k_turns=2).collect()[0]
+    assert (p.chosen_conv_id, p.rejected_conv_id) == ("f2", "f1")
