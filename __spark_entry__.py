@@ -461,6 +461,83 @@ def q_events_6h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pref_turns_and_scores(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """events → synthetic FORKED transcripts for the preference-pair
+    gate: each user is one conversation; users sharing user_id % 5
+    (the fork family) get byte-identical k=2 prefix turns, and the
+    completion turn is the user's own event-type sequence (so
+    completions diverge per branch but occasionally collide —
+    exercising the identical-completion filter). The score is the
+    user's event count (integer, so ties are common and the
+    conv_id tie-break is exercised cross-engine). conv ids zero-pad
+    the user id so lexicographic string comparison matches numeric
+    order in BOTH engines. The identical construction is embedded in
+    the DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    packed = F.struct("ts", "event_id", F.col("event_type").alias("et"))
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(packed)).alias("seq"),
+            F.count("*").cast("long").alias("score"),
+        )
+        .select(
+            F.concat(
+                F.lit("f"),
+                (F.col("user_id") % 5).cast("string"),
+                F.lit("-u"),
+                F.lpad(F.col("user_id").cast("string"), 6, "0"),
+            ).alias("conv_id"),
+            (F.col("user_id") % 5).cast("string").alias("family"),
+            F.expr("array_join(transform(seq, s -> s.et), '>')").alias(
+                "sequence"
+            ),
+            "score",
+        )
+    )
+    turns = conv.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("turn_idx"),
+                    F.concat(F.lit("sys f"), F.col("family")).alias("text"),
+                ),
+                F.struct(
+                    F.lit(1).alias("turn_idx"),
+                    F.concat(F.lit("task f"), F.col("family")).alias("text"),
+                ),
+                F.struct(
+                    F.lit(2).alias("turn_idx"),
+                    F.col("sequence").alias("text"),
+                ),
+            )
+        ).alias("t"),
+    ).select(
+        "conv_id",
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.text").alias("text"),
+    )
+    return turns, conv.select("conv_id", "score")
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair extraction gate (operators/
+    conversations.preference_pairs): conversations sharing their
+    first k=2 turns fork into candidate completions; highest score
+    wins chosen, lowest rejected, ties broken by conv_id, identical
+    chosen/rejected texts dropped. The DuckDB oracle replays the
+    identical fork construction and the (score, conv_id) total order
+    with two row_number windows, value-checking every column
+    including both completion texts and the prefix md5."""
+    from inxs_spark.operators.conversations import preference_pairs
+
+    turns, scores = _pref_turns_and_scores(spark, sf_dir)
+    return preference_pairs(turns, scores, k_turns=2).orderBy("prefix_md5")
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped-revenue orders for one segment
     with date predicates on both fact tables (join + agg + top-k)."""
@@ -2346,7 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_event_sequence": q_user_event_sequence,
         "q_asof_click_before_purchase": q_asof_click_before_purchase,
         "q_price_band_join": q_price_band_join,
-        "q_events_6h_rollup": q_events_6h_rollup,
+        "q_preference_pairs": q_preference_pairs,
         "q_shipping_priority": q_shipping_priority,
         "q_order_price_percentiles": q_order_price_percentiles,
         "q_events_moving_avg": q_events_moving_avg,
@@ -2629,8 +2706,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embedding_norms": q_embedding_norms,
         # doc-length histogram: slot freed for q_sft_examples in
         # round 5 (floor-bucket aggregation stays oracled via
-        # q_events_hourly / q_events_6h_rollup)
+        # q_events_hourly)
         "x_doc_length_histogram": q_doc_length_histogram,
+        # 6h time-bucket rollup: slot freed for q_preference_pairs in
+        # round 5 (the identical epoch-floored bucket aggregation
+        # shape stays oracled via q_events_hourly)
+        "x_events_6h_rollup": q_events_6h_rollup,
         "x_embedding_near_dup": x_embedding_near_dup,
         "x_extract_transcripts": x_extract_transcripts,
         "x_extract_deduped": x_extract_deduped,
@@ -3095,13 +3176,50 @@ def oracle_sql() -> dict[str, str]:
                  ON o_totalprice >= band_lo AND o_totalprice < band_hi
             GROUP BY band_id ORDER BY band_id
         """,
-        "q_events_6h_rollup": """
-            SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_epoch,
-                   event_type,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value,
-                   count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        "q_preference_pairs": """
+            -- preference-pair extraction replayed: same fork-family
+            -- construction (user_id % 5 shares a byte-identical
+            -- 2-turn prefix; completion = the user's event-type
+            -- sequence; score = event count), same (score, conv_id)
+            -- total order via two row_number windows, identical-
+            -- completion pairs dropped
+            WITH conv AS (
+              SELECT 'f' || CAST(user_id % 5 AS VARCHAR)
+                         || '-u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                       AS conv_id,
+                     CAST(user_id % 5 AS VARCHAR) AS family,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS completion,
+                     CAST(count(*) AS BIGINT) AS score
+              FROM events GROUP BY user_id
+            ), cand AS (
+              SELECT md5('sys f' || family || chr(1) || 'task f' || family)
+                       AS prefix_md5,
+                     conv_id, completion, score
+              FROM conv
+            ), ranked AS (
+              SELECT *,
+                     CAST(count(*) OVER (PARTITION BY prefix_md5) AS BIGINT)
+                       AS n_candidates,
+                     row_number() OVER (PARTITION BY prefix_md5
+                         ORDER BY score DESC, conv_id DESC) AS rhi,
+                     row_number() OVER (PARTITION BY prefix_md5
+                         ORDER BY score ASC, conv_id ASC) AS rlo
+              FROM cand
+            )
+            SELECT hi.prefix_md5, hi.n_candidates,
+                   hi.conv_id AS chosen_conv_id,
+                   hi.score AS chosen_score,
+                   hi.completion AS chosen_text,
+                   lo.conv_id AS rejected_conv_id,
+                   lo.score AS rejected_score,
+                   lo.completion AS rejected_text
+            FROM (SELECT * FROM ranked WHERE rhi = 1) hi
+            JOIN (SELECT * FROM ranked WHERE rlo = 1) lo
+                 USING (prefix_md5)
+            WHERE hi.n_candidates >= 2
+              AND hi.completion <> lo.completion
+            ORDER BY prefix_md5
         """,
         "q_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
