@@ -2031,6 +2031,54 @@ def x_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hashable(extract_df(_transcripts(spark, sf_dir)))
 
 
+def x_agent_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trajectory analytics (operators/trajectories.py) over the
+    synthetic transcript tier: per-conversation role/tool stats joined
+    with the longest same-tool run (degenerate-loop signal) and
+    flagged at min_run=3. Rows-only demo: the islands encoding is
+    pinned by tests/test_trajectories.py's serial-reference sweep and
+    the window+aggregate shapes are oracled elsewhere (q_user_sessions
+    uses the identical lag+running-sum island trick)."""
+    from inxs_spark.operators.trajectories import (
+        tool_call_runs,
+        trajectory_stats,
+    )
+
+    turns = _transcripts(spark, sf_dir)
+    stats = trajectory_stats(turns)
+    longest = (
+        tool_call_runs(turns)
+        .groupBy("conv_id")
+        .agg(
+            F.max(F.struct("run_len", "tool")).alias("__m"),
+        )
+        .select(
+            "conv_id",
+            F.col("__m.run_len").alias("max_tool_run"),
+            F.col("__m.tool").alias("max_run_tool"),
+        )
+    )
+    return (
+        stats.join(longest, "conv_id", "left")
+        .withColumn(
+            "max_tool_run", F.coalesce(F.col("max_tool_run"), F.lit(0))
+        )
+        .withColumn("is_loop_suspect", F.col("max_tool_run") >= 3)
+        .orderBy("conv_id")
+    )
+
+
+def x_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide tool-bigram counts over the synthetic transcripts
+    (the trajectory-mix fingerprint). Rows-only demo — same lag-window
+    + hash-aggregate shape as the oracled q_user_sessions."""
+    from inxs_spark.operators.trajectories import tool_transition_counts
+
+    return tool_transition_counts(_transcripts(spark, sf_dir)).orderBy(
+        "prev_tool", "tool"
+    )
+
+
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed (the scale path): same-
     bucket candidates → exact cosine >= threshold. Approximate (bucket
@@ -2742,6 +2790,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_temperature_mix": x_temperature_mix,
         "x_kmeans_balanced_sample": x_kmeans_balanced_sample,
         "x_preference_pairs": x_preference_pairs,
+        "x_agent_trajectories": x_agent_trajectories,
+        "x_tool_transitions": x_tool_transitions,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,
