@@ -135,11 +135,18 @@ def sft_example_index(
     role_col: str = "role",
     text_col: str = "text",
     target_role: str = "assistant",
+    tokenizer=None,
 ) -> DataFrame:
     """One training-example row per ``target_role`` turn: the example's
-    history is the LONGEST SUFFIX of prior turns whose whitespace-token
-    total fits ``max_history_tokens`` — the canonical SFT context-
-    window assembly over multi-turn transcripts.
+    history is the LONGEST SUFFIX of prior turns whose token total
+    fits ``max_history_tokens`` — the canonical SFT context-window
+    assembly over multi-turn transcripts. Tokens are whitespace splits
+    by default; pass ``tokenizer=`` (a trained
+    ``operators.tokenizer.BpeTokenizer``) to budget in REAL subword
+    tokens instead — the same opt-in seam ``pack_sequences`` has, one
+    Arrow hop for the counts, every window unchanged. An empty/null
+    turn counts as 1 token on both paths, preserving the
+    strictly-increasing-prefix-sum invariant the RANGE frame needs.
 
     Pure JVM, two windows, no self-join and no Python: per-turn token
     counts are always ≥ 1 (split('') yields one element), so the
@@ -159,9 +166,17 @@ def sft_example_index(
     # coalesce BEFORE split: size(split(NULL)) is NULL/-1, which would
     # break the strictly-increasing-prefix-sum invariant the RANGE
     # frame depends on; a null turn counts like an empty one (1 token)
-    tok = F.size(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    ).cast("long")
+    if tokenizer is not None:
+        tok = F.greatest(
+            F.size(
+                tokenizer.tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+            ),
+            F.lit(1),
+        ).cast("long")
+    else:
+        tok = F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).cast("long")
     w_idx = Window.partitionBy(conv_col).orderBy(idx_col)
     cumprev = F.coalesce(
         F.sum("__tok").over(
@@ -203,6 +218,7 @@ def assemble_sft_examples(
     text_col: str = "text",
     target_role: str = "assistant",
     sep: str = "\n",
+    tokenizer=None,
 ) -> DataFrame:
     """Materialize the history TEXT for every :func:`sft_example_index`
     row: equi-join the index back to the turns on the conversation
@@ -215,7 +231,7 @@ def assemble_sft_examples(
     (every example physically contains its window)."""
     idx = sft_example_index(
         turns, max_history_tokens, conv_col, idx_col, role_col,
-        text_col, target_role,
+        text_col, target_role, tokenizer=tokenizer,
     )
     src = turns.select(
         F.col(conv_col),

@@ -194,6 +194,56 @@ def test_sft_example_index_matches_serial_reference(spark):
     assert got == want
 
 
+def test_sft_example_index_bpe_tokenizer_budget(spark):
+    """The tokenizer= seam budgets in REAL subword tokens: a trained
+    BPE tokenizer's per-turn counts (clamped to >= 1) drive the same
+    RANGE-frame search, pinned against an O(n^2) serial reference
+    that re-encodes every turn with the same frozen model."""
+    from inxs_spark.operators.conversations import sft_example_index
+    from inxs_spark.operators.tokenizer import bpe_train
+
+    corpus = [
+        "low lower lowest", "new newer newest", "wide wider widest",
+        "low new wide", "lower newer wider", "",
+    ]
+    rows = []
+    for c in range(4):
+        for i in range(9):
+            rows.append(
+                (f"c{c}", i, "assistant" if i % 2 else "user",
+                 corpus[(c * 5 + i * 3) % len(corpus)])
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    tok = bpe_train(df, num_merges=3, sample_docs=64, min_pair_freq=1)
+
+    counts = {
+        (c, i): max(len(tok.encode(t)), 1) for (c, i, _, t) in rows
+    }
+    budget, want = 9, {}
+    for c in range(4):
+        for i in range(1, 9, 2):
+            s, tot = i, 0
+            while s > 0 and tot + counts[(f"c{c}", s - 1)] <= budget:
+                tot += counts[(f"c{c}", s - 1)]
+                s -= 1
+            want[(f"c{c}", i)] = (i - s, s if s < i else None, tot,
+                                  counts[(f"c{c}", i)])
+    got = {
+        (r.conv_id, r.target_idx): (
+            r.n_history_turns, r.history_start_idx,
+            r.history_tokens, r.target_tokens,
+        )
+        for r in sft_example_index(df, budget, tokenizer=tok).collect()
+    }
+    assert got == want
+    # BPE counts actually differ from whitespace counts somewhere
+    ws = {k: len(t.split(" ")) for (c, i, _, t) in rows
+          for k, t in [((c, i), t)]}
+    assert any(counts[k] != ws[k] for k in counts)
+
+
 def test_assemble_sft_examples_text(spark):
     from inxs_spark.operators.conversations import assemble_sft_examples
 
