@@ -2289,6 +2289,29 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed SFT dataset-assembly flow (jobs/sft.py: extraction
+    → degenerate-loop drop → context-window assembly) as ONE summary
+    row of stage counts. Rows-only: the assembly itself is oracled by
+    q_sft_examples; the loop filter is serial-reference-pinned in
+    tests/test_trajectories.py."""
+    from inxs_spark.jobs.sft import assemble_sft_dataset
+
+    turns = _transcripts(spark, sf_dir)
+    examples, stats = assemble_sft_dataset(
+        turns, budget=64, drop_loops_min_run=3
+    )
+    examples.unpersist()  # stats collected; release the stage cache
+    keys = [
+        "input_turns", "extraction_failures", "turns_after_loop_drop",
+        "convs_dropped_as_loops", "examples", "sum_history_tokens",
+    ]
+    return spark.createDataFrame(
+        [tuple(int(stats[k]) for k in keys)],
+        ", ".join(f"{k} long" for k in keys),
+    )
+
+
 def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna approx_percentile) vs exact
     percentiles with the relative error surfaced — mergeable
@@ -2792,6 +2815,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_preference_pairs": x_preference_pairs,
         "x_agent_trajectories": x_agent_trajectories,
         "x_tool_transitions": x_tool_transitions,
+        "x_sft_pipeline": x_sft_pipeline,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,
