@@ -74,10 +74,14 @@ def assemble_sft_dataset(
 
     t0 = time.monotonic()
     extracted = extract_df(turns).persist(lvl)
-    stats["input_turns"] = stats["extracted_turns"] = extracted.count()
-    stats["extraction_failures"] = extracted.filter(
-        F.col("failure").isNotNull()
-    ).count()
+    # ONE action for count + failure tally (a separate filter().count()
+    # would re-read the cache and pay a second job's scheduling)
+    row = extracted.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("failure").isNotNull().cast("long")).alias("f"),
+    ).collect()[0]
+    stats["input_turns"] = stats["extracted_turns"] = int(row.n)
+    stats["extraction_failures"] = int(row.f or 0)
     walls["extract"] = time.monotonic() - t0
 
     # join the role plane back: extraction prunes to (conv_id,
@@ -88,6 +92,8 @@ def assemble_sft_dataset(
         turns.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
     )
 
+    stats["convs_dropped_as_loops"] = 0
+    loop_convs = None
     if drop_loops_min_run is not None:
         from ..operators.trajectories import detect_tool_loops
 
@@ -95,17 +101,19 @@ def assemble_sft_dataset(
             detect_tool_loops(turns, min_run=drop_loops_min_run)
             .select("conv_id")
             .distinct()
+            .persist(lvl)
         )
+        # the flagged set is tiny (conversations, not turns): count IT
+        # for the lineage stat instead of two full distinct()
+        # aggregations over the turn frames (the first capture of this
+        # job spent ~40% of its wall on exactly that bookkeeping)
+        stats["convs_dropped_as_loops"] = loop_convs.count()
         ex = ex.join(loop_convs, "conv_id", "left_anti")
     ex = ex.persist(lvl)
     stats["turns_after_loop_drop"] = ex.count()
-    stats["convs_dropped_as_loops"] = 0
-    if drop_loops_min_run is not None:
-        stats["convs_dropped_as_loops"] = (
-            turns.select("conv_id").distinct().count()
-            - ex.select("conv_id").distinct().count()
-        )
     extracted.unpersist()
+    if loop_convs is not None:
+        loop_convs.unpersist()
     walls["loop_drop"] = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -116,12 +124,13 @@ def assemble_sft_dataset(
         target_role=target_role,
         tokenizer=tokenizer,
     ).persist(lvl)
-    stats["examples"] = examples.count()
     agg = examples.agg(
+        F.count("*").alias("n"),
         F.sum("history_tokens").alias("h"),
         F.sum("target_tokens").alias("t"),
         F.round(F.avg("n_history_turns"), 3).alias("a"),
     ).collect()[0]
+    stats["examples"] = int(agg.n)
     stats["sum_history_tokens"] = int(agg.h or 0)
     stats["sum_target_tokens"] = int(agg.t or 0)
     stats["avg_history_turns"] = float(agg.a or 0.0)
