@@ -62,7 +62,21 @@ def assemble_sft_dataset(
     given the examples are written there and every cache released;
     otherwise the returned frame stays persisted for the caller's
     action (release with ``spark.catalog.clearCache()`` in library
-    use — the curate() contract)."""
+    use — the curate() contract).
+
+    TWO actions total, however many stages: per-stage lineage counts
+    ride ``DataFrame.observe`` (CollectMetrics inside the SAME job)
+    instead of separate count() actions. The first version of this job
+    ran FIVE actions — each a full pipeline barrier plus scheduling —
+    and its scaling capture showed the serialization (BENCH.md,
+    2026-08-17 captures); the curate() funnel genuinely needs its
+    boundaries (each stage feeds the next with different keys), but
+    this job's stages are one linear plan, so barrier-per-stage was
+    pure Amdahl overhead. The one persist that remains is ``ex``
+    (consumed twice inside assemble_sft_examples: the index windows
+    and the history join-back)."""
+    from pyspark.sql import Observation
+
     from ..operators.conversations import assemble_sft_examples
     from ..plans.extract_pipeline import extract_df
 
@@ -73,79 +87,74 @@ def assemble_sft_dataset(
     walls: dict = {}
 
     t0 = time.monotonic()
-    extracted = extract_df(turns).persist(lvl)
-    # ONE action for count + failure tally (a separate filter().count()
-    # would re-read the cache and pay a second job's scheduling)
-    row = extracted.agg(
-        F.count("*").alias("n"),
+    obs_extract = Observation()
+    # role rides the Arrow batch through the kernel hop (extraction is
+    # 1:1 per turn) — the first version equi-joined the role plane
+    # back afterwards, two more full-corpus shuffles for one column
+    ex = extract_df(turns, passthrough_cols=("role",)).observe(
+        obs_extract,
+        F.count(F.lit(1)).alias("n"),
         F.sum(F.col("failure").isNotNull().cast("long")).alias("f"),
-    ).collect()[0]
-    stats["input_turns"] = stats["extracted_turns"] = int(row.n)
-    stats["extraction_failures"] = int(row.f or 0)
-    walls["extract"] = time.monotonic() - t0
-
-    # join the role plane back: extraction prunes to (conv_id,
-    # turn_idx, text) before its exchange, so role/tool ride a second
-    # narrow scan of the source, not the kernel hop
-    t0 = time.monotonic()
-    ex = extracted.join(
-        turns.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
     )
 
-    stats["convs_dropped_as_loops"] = 0
-    loop_convs = None
+    obs_loops = None
     if drop_loops_min_run is not None:
         from ..operators.trajectories import detect_tool_loops
 
+        obs_loops = Observation()
         loop_convs = (
             detect_tool_loops(turns, min_run=drop_loops_min_run)
             .select("conv_id")
             .distinct()
-            .persist(lvl)
+            .observe(obs_loops, F.count(F.lit(1)).alias("n"))
         )
-        # the flagged set is tiny (conversations, not turns): count IT
-        # for the lineage stat instead of two full distinct()
-        # aggregations over the turn frames (the first capture of this
-        # job spent ~40% of its wall on exactly that bookkeeping)
-        stats["convs_dropped_as_loops"] = loop_convs.count()
         ex = ex.join(loop_convs, "conv_id", "left_anti")
     ex = ex.persist(lvl)
+    # ACTION 1: materializes extraction + role join + loop drop into
+    # the ex cache; the observations above fill the stage stats
     stats["turns_after_loop_drop"] = ex.count()
-    extracted.unpersist()
-    if loop_convs is not None:
-        loop_convs.unpersist()
-    walls["loop_drop"] = time.monotonic() - t0
+    stats["input_turns"] = stats["extracted_turns"] = int(obs_extract.get["n"])
+    stats["extraction_failures"] = int(obs_extract.get["f"] or 0)
+    stats["convs_dropped_as_loops"] = (
+        int(obs_loops.get["n"]) if obs_loops is not None else 0
+    )
+    walls["extract_and_filter"] = time.monotonic() - t0
 
     t0 = time.monotonic()
+    obs_out = Observation()
     examples = assemble_sft_examples(
         ex,
         budget,
         text_col="extracted_text",
         target_role=target_role,
         tokenizer=tokenizer,
-    ).persist(lvl)
-    agg = examples.agg(
-        F.count("*").alias("n"),
+    ).observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n"),
         F.sum("history_tokens").alias("h"),
         F.sum("target_tokens").alias("t"),
         F.round(F.avg("n_history_turns"), 3).alias("a"),
-    ).collect()[0]
-    stats["examples"] = int(agg.n)
-    stats["sum_history_tokens"] = int(agg.h or 0)
-    stats["sum_target_tokens"] = int(agg.t or 0)
-    stats["avg_history_turns"] = float(agg.a or 0.0)
+    )
+
+    # ACTION 2: the write (or, in library use, one count that leaves
+    # the frame cached for the caller) — example stats observed inline
+    if out is not None:
+        examples.write.mode("overwrite").parquet(out)
+    else:
+        examples = examples.persist(lvl)
+        examples.count()
+    stats["examples"] = int(obs_out.get["n"])
+    stats["sum_history_tokens"] = int(obs_out.get["h"] or 0)
+    stats["sum_target_tokens"] = int(obs_out.get["t"] or 0)
+    stats["avg_history_turns"] = float(obs_out.get["a"] or 0.0)
     ex.unpersist()
-    walls["assemble"] = time.monotonic() - t0
+    walls["assemble_and_write" if out is not None else "assemble"] = (
+        time.monotonic() - t0
+    )
 
     stats["budget"] = budget
     stats["token_unit"] = "bpe" if tokenizer is not None else "whitespace"
     stats["stage_walls_s"] = {k: round(v, 3) for k, v in walls.items()}
-
-    if out is not None:
-        t0 = time.monotonic()
-        examples.write.mode("overwrite").parquet(out)
-        stats["stage_walls_s"]["write"] = round(time.monotonic() - t0, 3)
-        examples.unpersist()
     return examples, stats
 
 

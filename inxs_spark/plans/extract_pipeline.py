@@ -74,6 +74,7 @@ def make_extract_fn(
     chunk_id: int = -1,
     input_snapshot_id: str = "",
     row_fn=None,
+    passthrough_cols: tuple = (),
 ):
     """Build the mapInArrow function. The transformation object is
     captured in the closure — Spark cloudpickles it ONCE per job and
@@ -81,7 +82,14 @@ def make_extract_fn(
 
     ``row_fn`` overrides the per-payload extractor (payload → (text,
     spans, failure)) — e.g. the DOM-heuristic density extractor; the
-    default runs the declarative ``transformation``."""
+    default runs the declarative ``transformation``.
+
+    ``passthrough_cols`` ride the Arrow batch untouched: extraction is
+    1:1 per input row, so any caller that needs source columns next to
+    the extracted text (the SFT job needs ``role``) can carry them
+    through the hop instead of paying a full-corpus equi-join back to
+    the source afterwards — at 10^12 turns that join is two more
+    shuffles of the whole table."""
     import hashlib as _hashlib
 
     if row_fn is None:
@@ -136,16 +144,24 @@ def make_extract_fn(
                     names=["start", "end", "path"],
                 ),
             )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    conv.cast(pa.string()),
-                    turn.cast(pa.int32()),
-                    pa.array(extracted, type=pa.string()),
-                    spans_arr,
-                    pa.array(fails, type=pa.string()),
-                ],
-                schema=_OUT_ARROW,
-            )
+            out_arrays = [
+                conv.cast(pa.string()),
+                turn.cast(pa.int32()),
+                pa.array(extracted, type=pa.string()),
+                spans_arr,
+                pa.array(fails, type=pa.string()),
+            ]
+            if passthrough_cols:
+                yield pa.RecordBatch.from_arrays(
+                    out_arrays
+                    + [
+                        batch.column(schema.get_field_index(c))
+                        for c in passthrough_cols
+                    ],
+                    names=list(_OUT_ARROW.names) + list(passthrough_cols),
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(out_arrays, schema=_OUT_ARROW)
         if metrics_dir:
             _write_partition_metrics(
                 metrics_dir, run_id, chunk_id, input_snapshot_id,
@@ -253,17 +269,29 @@ def extract_df(
     chunk_id: int = -1,
     input_snapshot_id: str = "",
     row_fn=None,
+    passthrough_cols: tuple = (),
 ) -> DataFrame:
     """transcripts → extracted(conv_id, turn_idx, extracted_text,
-    spans, failure). Pure transformation — callers choose the sink."""
+    spans, failure[, *passthrough_cols]). Pure transformation —
+    callers choose the sink. ``passthrough_cols`` (simple scalar
+    source columns, e.g. ``("role",)``) ride the Arrow batch through
+    the kernel hop 1:1, saving the full-corpus join-back a caller
+    would otherwise need (see make_extract_fn)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = default_fanout_partitions(df)
+    passthrough_cols = tuple(passthrough_cols)
     fn = make_extract_fn(
         transformation, metrics_dir, run_id, chunk_id, input_snapshot_id,
-        row_fn=row_fn,
+        row_fn=row_fn, passthrough_cols=passthrough_cols,
     )
-    pruned = df.select("conv_id", "turn_idx", "text")
+    out_schema = OUTPUT_SPARK_SCHEMA
+    if passthrough_cols:
+        out_schema += ", " + ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}"
+            for c in passthrough_cols
+        )
+    pruned = df.select("conv_id", "turn_idx", "text", *passthrough_cols)
     salted = pruned.withColumn(
         "salt",
         F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)).cast("int"),
@@ -272,7 +300,7 @@ def extract_df(
         salted.repartition(num_partitions, "conv_id", "salt")
         .sortWithinPartitions("conv_id", "turn_idx")
         .drop("salt")
-        .mapInArrow(fn, OUTPUT_SPARK_SCHEMA)
+        .mapInArrow(fn, out_schema)
     )
 
 

@@ -43,7 +43,7 @@ def test_assemble_sft_dataset_matches_direct_composition(spark, tiny_transcripts
     assert stats["convs_dropped_as_loops"] == len(loop_convs)
     assert stats["examples"] == len(got_rows)
     assert stats["token_unit"] == "whitespace"
-    assert set(stats["stage_walls_s"]) == {"extract", "loop_drop", "assemble"}
+    assert set(stats["stage_walls_s"]) == {"extract_and_filter", "assemble"}
     spark.catalog.clearCache()
 
 

@@ -542,3 +542,34 @@ def test_transform_df_on_error_raise(spark):
             result_fn=lambda rows, _r: [{"cell": str(r)} for r in (rows or [])],
             on_error="raise",
         ).collect()
+
+
+def test_passthrough_cols_equal_join_back(spark, tiny_transcripts):
+    """passthrough_cols carries source columns through the Arrow hop
+    1:1: values equal the join-back formulation, and the plan contains
+    NO join (the whole point — at scale the join-back is two more
+    full-corpus shuffles)."""
+    from pyspark.sql import functions as F
+
+    from inxs_spark.plans.extract_pipeline import extract_df
+
+    turns = spark.read.parquet(tiny_transcripts)
+    through = extract_df(turns, passthrough_cols=("role", "tool"))
+    assert through.columns[-2:] == ["role", "tool"]
+
+    joined = extract_df(turns).join(
+        turns.select("conv_id", "turn_idx", "role", "tool"),
+        ["conv_id", "turn_idx"],
+    )
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    got = {key(r): (r.extracted_text, r.failure, r.role, r.tool)
+           for r in through.collect()}
+    want = {key(r): (r.extracted_text, r.failure, r.role, r.tool)
+            for r in joined.collect()}
+    assert got == want and len(got) > 0
+
+    plan = through._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # AQE prints final + initial sections; count the final one only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1  # the salt repartition only
