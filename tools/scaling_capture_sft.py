@@ -93,6 +93,14 @@ def main() -> int:
     boot = bench.build_session(bench.CPUS)
     turns_path = ensure_turns(boot, args.turns)
     n_turns = boot.read.parquet(turns_path).count()
+    # page-cache warm (the bench.py lesson): parquet count() reads
+    # only footers; without a full-payload pass the first timed rep
+    # pays the cold disk read — a cost that belongs to neither
+    # parallelism level (first capture showed a 57s → 32s local[4]
+    # warming trend across reps)
+    from pyspark.sql import functions as F
+
+    boot.read.parquet(turns_path).agg(F.sum(F.length("text"))).collect()
     boot.stop()
 
     n_low, n_high = args.n, args.n * 4
@@ -103,6 +111,14 @@ def main() -> int:
             bench.wait_for_quiet(args.max_load + 1.5, 120)
             spark = bench.build_session(cores)
             loads.append(round(os.getloadavg()[0], 2))
+            # warm the python workers / JIT before the timed wall
+            from inxs_spark.plans.extract_pipeline import extract_df
+            from pyspark.sql import functions as F
+
+            extract_df(
+                spark.read.parquet(turns_path).limit(20000),
+                num_partitions=cores,
+            ).agg(F.count("*")).collect()
             walls[cores].append(timed_sft(spark, turns_path))
             spark.stop()
     t_low, t_high = min(walls[n_low]), min(walls[n_high])
