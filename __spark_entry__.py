@@ -2759,6 +2759,36 @@ def x_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_dpo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DPO export job (jobs/dpo.py: extraction with role
+    passthrough → heuristic assistant-quality scoring →
+    preference-pair extraction) over the x_preference_pairs planted
+    fork construction, as ONE summary row of job stats. Rows-only:
+    the pair selection is oracled by q_preference_pairs and the job
+    is pinned against direct composition in tests/test_dpo_job.py."""
+    from inxs_spark.jobs.dpo import extract_preference_pairs
+
+    turns = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.expr("doc_id div 50").cast("int").alias("turn_idx"),
+        F.when(F.expr("doc_id div 50") % 2 == 0, "user")
+        .otherwise("assistant").alias("role"),
+        F.when(
+            (F.col("doc_id") % 50 < 5) & (F.expr("doc_id div 50") < 3),
+            F.concat(F.lit("shared opener turn "),
+                     F.expr("doc_id div 50").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    pairs, stats = extract_preference_pairs(turns, k_turns=3)
+    pairs.unpersist()
+    keys = ["input_turns", "extraction_failures", "pairs",
+            "fork_candidates", "k_turns"]
+    return spark.createDataFrame(
+        [tuple(int(stats[k]) for k in keys)],
+        ", ".join(f"{k} long" for k in keys),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Raw-output demo queries (full extraction frames, approximate
     pair sets, sketch values, per-item media features). Every
@@ -2816,6 +2846,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_agent_trajectories": x_agent_trajectories,
         "x_tool_transitions": x_tool_transitions,
         "x_sft_pipeline": x_sft_pipeline,
+        "x_dpo_pipeline": x_dpo_pipeline,
         "x_token_counts": q_token_counts,
         "x_quality_scores": q_quality_scores,
         "x_language_id": q_language_id,
