@@ -6,7 +6,6 @@ import os
 import subprocess
 import sys
 
-from pyspark.sql import functions as F
 
 
 def _forked_transcripts(spark):
