@@ -2119,9 +2119,13 @@ def x_extract_failure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inxs_spark.operators.dedup import minhash_dedup_pairs
 
+    # prune_verify="auto": above the (round-6 re-measured) corpus
+    # crossover the exact-Jaccard verify shingles candidate documents
+    # only instead of the whole corpus twice — identical pairs, ~30%
+    # less wall at the 50k-doc tier; tiny tiers keep the lazy plan
     return minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5,
-        num_perm=32, bands=8,
+        num_perm=32, bands=8, prune_verify="auto",
     ).orderBy("id_a", "id_b")
 
 

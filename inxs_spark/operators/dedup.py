@@ -67,10 +67,17 @@ def shingles(text_col: str, k: int = 3, mode: str = "word") -> Column:
             f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
             f" i -> substring({text_col}, i, {k})))"
         )
+    # Bind split({text_col}, ' ') ONCE via the single-element-array
+    # transform trick (SQL has no let): the previous form re-ran the
+    # regex split inside every lambda element — O(words) splits per doc
+    # (~49x the regex work at k=3; HOF lambdas are interpreted, so
+    # nothing CSEs them away). Values are byte-identical: same split,
+    # same slice/array_join/array_distinct.
     return F.expr(
+        f"transform(array(split({text_col}, ' ')), ws -> "
         f"array_distinct(transform("
-        f"sequence(1, greatest(size(split({text_col}, ' ')) - {k} + 1, 1)),"
-        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')))"
+        f"sequence(1, greatest(size(ws) - {k} + 1, 1)),"
+        f" i -> array_join(slice(ws, i, {k}), ' '))))[0]"
     )
 
 
@@ -240,6 +247,13 @@ def minhash_band_memberships(
     # the memberships wall at 1.2M docs — round-5 scaling profile).
     # The JVM-expression variant (minhash_signature_expr) WOULD be
     # inlined per band; that is one more reason it is not the default.
+    # Small single-row-group inputs would otherwise run the signature
+    # UDF on 1-2 scan tasks (round-6 profile: 4.5s of a 13s query on a
+    # 94%-idle box) — fan out first when, and only when, the exchange
+    # is provably cheap (see fanout.ensure_compute_fanout's guards).
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)
     sig = df.select(
         F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
     )
@@ -311,8 +325,13 @@ def _pairs_from_memberships(exploded: DataFrame, max_bucket: int) -> DataFrame:
 
 
 #: below this corpus size the lazy verify plan wins: the semi-prune's
-#: extra joins cost more than just shingling a small corpus twice
-AUTO_PRUNE_MIN_CORPUS = 200_000
+#: extra joins cost more than just shingling a small corpus twice.
+#: Re-measured in round 6 after the compute fan-out landed: at 50k docs
+#: / 2.6k candidate pairs the pruned plan beat the lazy one by ~2s
+#: (5.5 vs 7.7s warm, tools/exp notes in OPTIMIZATION_r06.md), so the
+#: crossover sits well below the old 200k estimate; 20k keeps tiny
+#: corpora (sf0.001/0.01, unit tests) on the cheaper lazy plan.
+AUTO_PRUNE_MIN_CORPUS = 20_000
 
 
 def jaccard_verify(
@@ -397,6 +416,13 @@ def jaccard_verify(
         base = df
     if _prune_path_out is not None:
         _prune_path_out.append("prune" if prune_to_candidates else "lazy")
+    # the shingle projection below is interpreted HOF-lambda work (no
+    # codegen) — the priciest per-row compute in the funnel; fan out an
+    # under-parallel small scan before paying it twice (round-6
+    # profile: 12s/corpus-pass on 2 of 32 cores at sf1.0)
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    base = ensure_compute_fanout(base)
     sh = base.select(
         F.col(id_col).alias("id"), shingles(text_col, k, mode).alias("sh")
     )
