@@ -221,43 +221,61 @@ def assemble_sft_examples(
     tokenizer=None,
 ) -> DataFrame:
     """Materialize the history TEXT for every :func:`sft_example_index`
-    row: equi-join the index back to the turns on the conversation
-    key, keep turns in ``[history_start_idx, target_idx)``, and
-    reassemble in order with the module's one-aggregation
-    array_sort(collect_list(struct)) shape. The join is a plain
-    conv-key equi-join whose per-group fan-out is (turns × examples)
-    — bounded by the module's ≤2000-turn conversation invariant, and
-    the output's total size is inherently Σ history sizes anyway
-    (every example physically contains its window)."""
+    row.
+
+    Round-6 linearized shape (round-5 verdict task 2): aggregate each
+    conversation ONCE into a sorted ``(turn_idx, text)`` array (the
+    ``conversation_documents`` shape), join every example to that ONE
+    row, and carve ``[history_start_idx, target_idx)`` out of the
+    array with JVM ``filter``/``transform`` expressions. The previous
+    shape fanned the conv-key equi-join out to (examples × turns)
+    intermediate ROWS per conversation — ~n²/2 rows for long mostly-
+    assistant conversations, of which most were filtered — and then
+    paid a SECOND exchange re-aggregating the survivors per example.
+    Now the join output is one row per example and the post-join work
+    is expression-only: no aggregation above the join, no exchange
+    proportional to Σ history sizes. Both join inputs are already
+    hash-partitioned by the conversation key (the index's windows and
+    the turns aggregation), so the join itself adds no exchange
+    either. Output is row-identical (same [start, target) members in
+    the same idx order — pinned by the q_sft_examples oracle and
+    test_linearized_matches_fanout_shape)."""
     idx = sft_example_index(
         turns, max_history_tokens, conv_col, idx_col, role_col,
         text_col, target_role, tokenizer=tokenizer,
     )
-    src = turns.select(
-        F.col(conv_col),
-        F.col(idx_col).alias("__hist_idx"),
-        # same null rule as the index: a null turn is an empty line
-        # (array_join would silently DROP a null element, making the
-        # text disagree with the 1-token accounting)
-        F.coalesce(F.col(text_col), F.lit("")).alias("__hist_text"),
+    conv_turns = turns.groupBy(conv_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).alias("__hist_idx"),
+                    # same null rule as the index: a null turn is an
+                    # empty line (array_join would silently DROP a null
+                    # element, making the text disagree with the
+                    # 1-token accounting)
+                    F.coalesce(F.col(text_col), F.lit("")).alias("__hist_text"),
+                )
+            )
+        ).alias("__turns")
     )
-    with_hist = idx.filter(F.col("n_history_turns") > 0).join(src, conv_col)
-    packed = F.struct(F.col("__hist_idx"), F.col("__hist_text"))
     assembled = (
-        with_hist.filter(
-            (F.col("__hist_idx") >= F.col("history_start_idx"))
-            & (F.col("__hist_idx") < F.col("target_idx"))
-        )
-        .groupBy(
-            conv_col, "target_idx", "n_history_turns",
-            "history_start_idx", "history_tokens", "target_tokens",
-        )
-        .agg(F.array_sort(F.collect_list(packed)).alias("__h"))
+        idx.filter(F.col("n_history_turns") > 0)
+        .join(conv_turns, conv_col)
         .withColumn(
             "history_text",
-            F.array_join(F.transform("__h", lambda s: s["__hist_text"]), sep),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.col("__turns"),
+                        lambda s: (s["__hist_idx"] >= F.col("history_start_idx"))
+                        & (s["__hist_idx"] < F.col("target_idx")),
+                    ),
+                    lambda s: s["__hist_text"],
+                ),
+                sep,
+            ),
         )
-        .drop("__h")
+        .drop("__turns")
     )
     empties = idx.filter(F.col("n_history_turns") == 0).withColumn(
         "history_text", F.lit("")

@@ -258,6 +258,72 @@ def test_assemble_sft_examples_text(spark):
     assert len(out) == 5
 
 
+def test_assemble_linearized_matches_fanout_shape(spark):
+    """Round-6 shape change (round-5 verdict task 2): the linearized
+    per-conv-array assembly must be row-identical to the old
+    (examples × turns) join-then-filter fan-out, and its plan must not
+    re-aggregate above the example join (the fan-out's second
+    exchange)."""
+    from pyspark.sql import functions as F
+
+    from inxs_spark.operators.conversations import (
+        assemble_sft_examples,
+        sft_example_index,
+    )
+
+    turns = _sft_turns(spark)
+    budget = 4
+    new = assemble_sft_examples(turns, budget)
+
+    # the pre-round-6 fan-out shape, reconstructed as the reference
+    idx = sft_example_index(turns, budget)
+    src = turns.select(
+        "conv_id",
+        F.col("turn_idx").alias("__hist_idx"),
+        F.coalesce(F.col("text"), F.lit("")).alias("__hist_text"),
+    )
+    packed = F.struct(F.col("__hist_idx"), F.col("__hist_text"))
+    old_assembled = (
+        idx.filter(F.col("n_history_turns") > 0)
+        .join(src, "conv_id")
+        .filter(
+            (F.col("__hist_idx") >= F.col("history_start_idx"))
+            & (F.col("__hist_idx") < F.col("target_idx"))
+        )
+        .groupBy(
+            "conv_id", "target_idx", "n_history_turns",
+            "history_start_idx", "history_tokens", "target_tokens",
+        )
+        .agg(F.array_sort(F.collect_list(packed)).alias("__h"))
+        .withColumn(
+            "history_text",
+            F.array_join(F.transform("__h", lambda s: s["__hist_text"]), "\n"),
+        )
+        .drop("__h")
+    )
+    old = old_assembled.unionByName(
+        idx.filter(F.col("n_history_turns") == 0).withColumn(
+            "history_text", F.lit("")
+        )
+    )
+
+    key = lambda r: (r.conv_id, r.target_idx)  # noqa: E731
+    assert sorted(new.collect(), key=key) == sorted(old.collect(), key=key)
+    assert new.columns == old.columns
+
+    # plan property: nothing aggregates ABOVE the example join — the
+    # only collect_list is the per-conv turns array built BELOW it.
+    # Asserted on the optimized LOGICAL plan (parents print before
+    # children; no AQE stage wrappers reordering the text): the old
+    # fan-out shape printed its Aggregate[collect_list] before the
+    # Join, the linearized shape prints the Join first.
+    plan = new._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("collect_list")
+    assert join_pos != -1 and agg_pos != -1, plan
+    assert join_pos < agg_pos, plan
+
+
 def _forked_turns(spark):
     """Three convs share a 2-turn opener then diverge; conv f4 shares
     it too but its completion EQUALS f1's (no signal vs f1 alone);
