@@ -693,6 +693,11 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
+    # same under-parallel-scan discipline as the MinHash signature UDF
+    # (round 6): no-op unless the input is a small file-backed scan
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)
     return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
 
 

@@ -164,7 +164,11 @@ def parse_layout(df: DataFrame, parser: str = "mini") -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(batches, BLOCK_SCHEMA)
+    from .fanout import ensure_compute_fanout
+
+    # round 6: layout parsing is per-row Python — fan out an
+    # under-parallel small file scan first (no-op otherwise)
+    return ensure_compute_fanout(df).mapInPandas(batches, BLOCK_SCHEMA)
 
 
 def extract_pdf_text(blocks: DataFrame) -> DataFrame:

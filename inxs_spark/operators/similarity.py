@@ -121,6 +121,11 @@ def cosine_topk(
     decimals, so the paths are value-identical (test-pinned)."""
     import math
 
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    # round 6: a small single-row-group embeddings file plans ONE scan
+    # task — fan out before the per-row vector math (no-op at scale)
+    df = ensure_compute_fanout(df)
     qv = [float(x) for x in query_vec]
     if len(qv) > _COSINE_EXPR_MAX_DIM:
         raw = _query_cos_udf(np.asarray(qv))(F.col(vec_col))
@@ -228,6 +233,9 @@ def hyperplane_lsh_buckets(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)  # round 6: see cosine_topk
     planes = hyperplanes(dim, n_planes, seed)
     key = (
         bucket_key_udf(vec_col, planes)
@@ -487,6 +495,9 @@ def ivf_assign(
     partition layout; no shuffle at query time. Auto-selects the
     vectorized matmul UDF above ``_LITERAL_BUDGET`` total centroid
     literals (production dims), the codegen expression below it."""
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)  # round 6: see cosine_topk
     if centroids.size > _LITERAL_BUDGET:
         cell = _cell_udf(centroids)(F.col(vec_col))
     else:
@@ -760,6 +771,9 @@ def pq_encode(
     before the per-row cost dominates).
     Narrow output on purpose — the codes table IS the index; the
     embedding column never travels with it."""
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)  # round 6: see cosine_topk
     return df.select(
         F.col(id_col), _pq_code_col(codebooks, vec_col).alias("pq_code")
     )
@@ -942,6 +956,9 @@ def ivfpq_write_index(
     import json
     import os
 
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)  # round 6: see cosine_topk
     if centroids.size > _LITERAL_BUDGET:
         cell = _cell_udf(centroids)(F.col(vec_col))
     else:
@@ -1034,6 +1051,9 @@ def _kmeans_stats_exprs(
     the pure-JVM path for modest dims. Map-side partial aggregation:
     the shuffle carries k x dim doubles per map task, never vectors."""
     dim = centroids.shape[1]
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)  # round 6: see cosine_topk
     if centroids.size > _LITERAL_BUDGET:
         cell = _cell_udf(centroids)(F.col(vec_col))
     else:
@@ -1160,6 +1180,9 @@ def cluster_balanced_sample(
     row sampler, not a projection."""
     from inxs_spark.operators.text import deterministic_quota
 
+    from inxs_spark.operators.fanout import ensure_compute_fanout
+
+    df = ensure_compute_fanout(df)  # round 6: see cosine_topk
     if centroids.size > _LITERAL_BUDGET:
         cell = _cell_udf(centroids)(F.col(vec_col))
     else:
