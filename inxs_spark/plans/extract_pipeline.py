@@ -281,6 +281,20 @@ def extract_df(
     if num_partitions is None:
         num_partitions = default_fanout_partitions(df)
     passthrough_cols = tuple(passthrough_cols)
+    # round-5 advice: a passthrough column colliding with the fixed
+    # output schema (or the key/text inputs) used to fail deep inside
+    # mapInArrow with a confusing duplicate-field error — reject it
+    # up front with the actual offender named
+    reserved = {
+        "conv_id", "turn_idx", "text",
+        "extracted_text", "spans", "failure",
+    }
+    clash = [c for c in passthrough_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"passthrough_cols {clash} collide with the extraction "
+            f"output schema / key columns {sorted(reserved)}"
+        )
     fn = make_extract_fn(
         transformation, metrics_dir, run_id, chunk_id, input_snapshot_id,
         row_fn=row_fn, passthrough_cols=passthrough_cols,
