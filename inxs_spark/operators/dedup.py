@@ -100,12 +100,28 @@ def minhash_signature_expr(shingle_col: str, num_perm: int = 64) -> Column:
 _MERSENNE31 = (1 << 31) - 1
 
 
+#: per-task shingle→base-hash memo bound (the tokenizer.py memo
+#: discipline): template-heavy corpora repeat shingles heavily — the
+#: sf1.0 bench table measures a 94x repeat factor (2.62M shingle
+#: instances, 27.9k distinct) — so caching the pure blake2b+mod step
+#: removes ~90% of the hashing work; the bound caps worker memory on
+#: genuinely high-entropy corpora (~100 MB worst case per worker).
+_MINHASH_MEMO_MAX = 1_000_000
+
+
 def _make_minhash_udf(num_perm: int, k: int, mode: str):
     """Vectorized MinHash signatures: per batch, shingle → 64-bit base
     hash (blake2b, process-independent), then all permutations at once
     via numpy broadcast (a_j * h + b_j) mod M31. Arrow-batched — no
-    per-row Python at the API level."""
+    per-row Python at the API level. Round 6: the per-shingle
+    int.from_bytes loop became one np.frombuffer over the concatenated
+    digests (byte-identical — big-endian uint64 == from_bytes 'big',
+    and mod M31 commutes), and a bounded per-task memo skips blake2b
+    for repeated shingles entirely (signatures are a min over the
+    base-hash set, so lookup order is irrelevant)."""
     from pyspark.sql.types import ArrayType, LongType
+
+    memo: dict = {}  # captured by the UDF closure — one per task
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -115,6 +131,8 @@ def _make_minhash_udf(num_perm: int, k: int, mode: str):
         rng = np.random.default_rng(42)
         A = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.int64)
         B = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.int64)
+        m31_u64 = np.uint64(_MERSENNE31)
+        get = memo.get
 
         def one(text):
             if not text:
@@ -125,14 +143,25 @@ def _make_minhash_udf(num_perm: int, k: int, mode: str):
                 words = text.split(" ")
                 n = max(len(words) - k + 1, 1)
                 items = {" ".join(words[i:i + k]) for i in range(n)}
-            base = np.fromiter(
-                (
-                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
-                    % _MERSENNE31
-                    for s in items
-                ),
-                dtype=np.int64, count=len(items),
-            )
+            vals = []
+            miss = []
+            for s in items:
+                v = get(s)
+                if v is None:
+                    miss.append(s)
+                else:
+                    vals.append(v)
+            if miss:
+                buf = b"".join(
+                    blake2b(s.encode(), digest_size=8).digest() for s in miss
+                )
+                mv = (np.frombuffer(buf, dtype=">u8") % m31_u64).astype(
+                    np.int64
+                ).tolist()
+                if len(memo) < _MINHASH_MEMO_MAX:
+                    memo.update(zip(miss, mv))
+                vals.extend(mv)
+            base = np.array(vals, dtype=np.int64)
             return ((A[:, None] * base[None, :] + B[:, None]) % _MERSENNE31).min(
                 axis=1
             ).tolist()
