@@ -692,25 +692,50 @@ def dedup_keep_one_per_cluster(df: DataFrame, pairs: DataFrame,
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: per-worker token→hash memo (the MinHash signature discipline, round
+#: 6): natural-language tokens repeat across documents far more than
+#: shingles do, so the pure blake2b step caches extremely well; the
+#: bound caps memory on high-entropy corpora.
+_SIMHASH_MEMO: dict = {}
+_SIMHASH_MEMO_MAX = 1_000_000
+
+
 @F.pandas_udf(LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens — vectorized numpy bit
     count per batch (Arrow transfer; no per-row Python at the API
-    level). Python here beats a 64-lambda JVM expression tree."""
+    level). Python here beats a 64-lambda JVM expression tree.
+    Token hashes are memoized per worker and misses fold their digests
+    through one big-endian np.frombuffer — byte-identical to the
+    per-token int.from_bytes (".big" == ">u8"; the bit-vote sum is
+    order-insensitive over the token SET)."""
     import numpy as np
 
     from hashlib import blake2b
 
-    def h64(token: str) -> int:
-        # process-independent (Python's builtin hash() is salted)
-        return int.from_bytes(blake2b(token.encode(), digest_size=8).digest(), "big")
-
+    get = _SIMHASH_MEMO.get
     out = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
         if not text:
             continue
         toks = set(text.split(" "))
-        hashes = np.fromiter((h64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        vals = []
+        miss = []
+        for t in toks:
+            v = get(t)
+            if v is None:
+                miss.append(t)
+            else:
+                vals.append(v)
+        if miss:
+            buf = b"".join(
+                blake2b(t.encode(), digest_size=8).digest() for t in miss
+            )
+            mv = np.frombuffer(buf, dtype=">u8").tolist()
+            if len(_SIMHASH_MEMO) < _SIMHASH_MEMO_MAX:
+                _SIMHASH_MEMO.update(zip(miss, mv))
+            vals.extend(mv)
+        hashes = np.array(vals, dtype=np.uint64)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
         votes = bits.sum(axis=0) * 2 - len(hashes)
         sim = np.uint64(0)
